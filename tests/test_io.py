@@ -1,0 +1,116 @@
+"""IO subsystem tests: HDF5 round-trip, blob contract, prefetch lifecycle,
+determinism (SURVEY.md §4.5)."""
+
+import numpy as np
+import pytest
+
+from uresnet_pytorch_tpu.config import URESNetConfig
+from uresnet_pytorch_tpu.iotools import io_factory
+from uresnet_pytorch_tpu.iotools.h5_io import H5Reader
+from uresnet_pytorch_tpu.iotools.synthetic import generate_event
+from uresnet_pytorch_tpu.iotools.pointcloud import blob_to_pointcloud, pointcloud_to_blob
+
+
+def _cfg(h5_path, **kw):
+    base = dict(io_type="h5", input_file=(h5_path,), spatial_size=64,
+                data_dim=3, max_voxels=2048, batch_size=2, shuffle=False,
+                data_keys=("data", "label"))
+    base.update(kw)
+    return URESNetConfig(**base)
+
+
+def test_synthetic_event_deterministic_and_unique():
+    c1, v1, l1 = generate_event(seed=3, index=5, spatial_size=64)
+    c2, v2, l2 = generate_event(seed=3, index=5, spatial_size=64)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(l1, l2)
+    # coordinates unique
+    keys = (c1[:, 0].astype(np.int64) * 64 + c1[:, 1]) * 64 + c1[:, 2]
+    assert len(np.unique(keys)) == len(keys)
+    assert (c1 >= 0).all() and (c1 < 64).all()
+    assert (l1 >= 0).all() and (l1 < 5).all()
+    assert (v1 > 0).all()
+
+
+def test_h5_roundtrip(h5_fixture):
+    r = H5Reader([h5_fixture], ["data", "label", "weight"])
+    assert len(r) == 8
+    ev = r.read(3)
+    coords, vals = ev["data"]
+    lc, lv = ev["label"]
+    np.testing.assert_array_equal(coords, lc)  # label coords mirror data
+    c, v, l = generate_event(7, 3, 64, 3, 512)
+    np.testing.assert_array_equal(coords, c)
+    np.testing.assert_allclose(vals, v, rtol=1e-6)
+    np.testing.assert_array_equal(lv.astype(np.int32), l)
+    r.close()
+
+
+def test_blob_contract(h5_fixture):
+    cfg = _cfg(h5_fixture)
+    io = io_factory(cfg)
+    io.initialize()
+    blob = io.next()
+    io.finalize()
+    assert blob["coords"].shape == (2, 2048, 3)
+    assert blob["values"].shape == (2, 2048)
+    assert blob["label"].shape == (2, 2048)
+    assert blob["n_voxels"].shape == (2,)
+    assert blob["coords"].dtype == np.int32
+    for b in range(2):
+        n = blob["n_voxels"][b]
+        assert 0 < n <= 2048
+        # padding is zeroed
+        assert (blob["values"][b, n:] == 0).all()
+        assert (blob["coords"][b, n:] == 0).all()
+    # sequential order without shuffle
+    np.testing.assert_array_equal(blob["index"], [0, 1])
+
+
+def test_truncation_counted(h5_fixture):
+    cfg = _cfg(h5_fixture, max_voxels=256)  # smaller than typical event
+    io = io_factory(cfg)
+    io.initialize()
+    blob = io.next()
+    io.finalize()
+    assert (blob["n_voxels"] <= 256).all()
+
+
+def test_pointcloud_roundtrip(h5_fixture):
+    cfg = _cfg(h5_fixture)
+    io = io_factory(cfg)
+    io.initialize()
+    blob = io.next()
+    io.finalize()
+    pc = blob_to_pointcloud(blob)
+    assert pc.shape[1] == 5  # x,y,z,batch,value
+    blob2 = pointcloud_to_blob(pc, cfg.max_voxels, cfg.data_dim)
+    np.testing.assert_array_equal(blob["coords"], blob2["coords"])
+    np.testing.assert_allclose(blob["values"], blob2["values"], rtol=1e-6)
+    np.testing.assert_array_equal(blob["n_voxels"], blob2["n_voxels"])
+
+
+def test_synthetic_io_no_files():
+    cfg = URESNetConfig(io_type="synthetic", spatial_size=64, data_dim=3,
+                        max_voxels=1024, batch_size=2, shuffle=True, seed=1)
+    io = io_factory(cfg, n_events=16, mean_voxels=256)
+    io.initialize()
+    b1 = io.next()
+    b2 = io.next()
+    io.finalize()
+    assert b1["coords"].shape == b2["coords"].shape == (2, 1024, 3)
+
+
+def test_flags_cli_roundtrip():
+    from uresnet_pytorch_tpu.flags import parse_args
+    mode, cfg = parse_args([
+        "train", "-mn", "uresnet_dense", "-nc", "5", "-uf", "8", "-uns", "3",
+        "-ss", "64", "-dd", "3", "-io", "synthetic", "-bs", "4", "-lr", "0.01",
+        "-it", "100", "-dkeys", "data,label",
+    ])
+    assert mode == "train"
+    assert cfg.MODEL_NAME == "uresnet_dense"  # UPPERCASE reference convention
+    assert cfg.BATCH_SIZE == 4
+    assert cfg.learning_rate == 0.01
+    assert cfg.n_planes == (8, 16, 24)

@@ -1,0 +1,142 @@
+"""Typed configuration for the TPU-native U-ResNet stack.
+
+Mirrors the reference's flag surface (SURVEY.md §2.2, expected at
+``uresnet/flags.py`` in the public repo) as a frozen dataclass. The CLI in
+:mod:`uresnet_pytorch_tpu.flags` parses the same flag names and produces one
+of these; library users construct it directly.
+
+Unlike the reference's UPPERCASE-attribute argparse object, this is a plain
+typed dataclass — but :class:`URESNetConfig` also answers UPPERCASE attribute
+access (``cfg.BATCH_SIZE``) for drop-in familiarity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class URESNetConfig:
+    # ---- model (reference: uresnet/flags.py --model-name etc.) ----
+    model_name: str = "uresnet_sparse"  # {uresnet_sparse, uresnet_dense}
+    num_class: int = 5                  # 5 LArTPC particle classes
+    uresnet_filters: int = 16           # base filter count m
+    uresnet_num_strides: int = 5        # resolution levels S
+    spatial_size: int = 192             # cube/square edge (power of two preferred)
+    data_dim: int = 3                   # 2 or 3
+    reps: int = 2                       # residual blocks per level
+    # width ramp: reference SCN UNet uses linear nPlanes = m*(i+1) (SURVEY §2.5)
+    width_ramp: str = "linear"          # {linear, geometric}
+    leaky_relu_slope: float = 0.0       # SCN BatchNormLeakyReLU default 0 => ReLU-like; see models/
+    bn_momentum: float = 0.9            # torch BN momentum 0.1 => decay 0.9 in flax convention
+    bn_eps: float = 1e-4                # SCN BatchNormalization default eps=1e-4
+    input_merge_mode: str = "sum"       # InputLayer duplicate-coordinate merge: {sum, mean, max, last}
+
+    # ---- sparse capacity (TPU static shapes; no reference analog) ----
+    max_voxels: int = 0                 # per-event active-site capacity at level 0; 0 => auto
+    capacity_factor: float = 1.0        # cap[l+1] = cap[l] * factor (<=1.0 always safe)
+    min_level_capacity: int = 256       # floor so deep levels keep MXU-friendly tiles
+
+    # ---- io (reference: --io-type/-io etc.) ----
+    io_type: str = "h5"                 # {h5, larcv_sparse, larcv_dense, synthetic}
+    input_file: Tuple[str, ...] = ()
+    output_file: str = ""
+    data_keys: Tuple[str, ...] = ("data", "label")  # optional 3rd key = per-voxel weight
+    batch_size: int = 1
+    minibatch_size: int = -1            # per-device slice; -1 => batch_size / n_devices
+    shuffle: bool = True
+    limit_num_files: int = 0
+    num_threads: int = 1                # prefetch threads
+    prefetch_depth: int = 2
+
+    # ---- train (reference: --learning-rate etc.) ----
+    train: bool = True
+    learning_rate: float = 0.001
+    iteration: int = 10000
+    report_step: int = 1
+    checkpoint_step: int = 500
+    weight_prefix: str = "./weights/snapshot"
+    log_dir: str = "./log"
+    seed: int = 0
+    weight_key: str = ""                # non-empty => per-voxel loss weighting from this blob key
+
+    # ---- restore / inference ----
+    model_path: str = ""                # checkpoint path or glob (inference sweeps the glob)
+    gpus: Tuple[int, ...] = ()          # reference flag name kept; selects jax devices
+    resume: bool = False                # auto-discover latest checkpoint under weight_prefix
+
+    # ---- precision / performance (TPU-native additions) ----
+    compute_dtype: str = "bfloat16"     # matmul/conv compute dtype
+    param_dtype: str = "float32"
+    profile_dir: str = ""               # non-empty => jax.profiler traces here
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        if self.data_dim not in (2, 3):
+            raise ValueError(f"data_dim must be 2 or 3, got {self.data_dim}")
+        if self.model_name not in ("uresnet_sparse", "uresnet_dense"):
+            raise ValueError(f"unknown model_name {self.model_name!r}")
+        if self.width_ramp not in ("linear", "geometric"):
+            raise ValueError(f"unknown width_ramp {self.width_ramp!r}")
+        if self.input_merge_mode not in ("sum", "mean", "max", "last"):
+            raise ValueError(f"unknown input_merge_mode {self.input_merge_mode!r}")
+        if self.spatial_size & (self.spatial_size - 1):
+            raise ValueError("spatial_size must be a power of two")
+        if self.uresnet_num_strides < 1:
+            raise ValueError("uresnet_num_strides must be >= 1")
+        if (self.spatial_size >> (self.uresnet_num_strides - 1)) < 1:
+            raise ValueError("too many strides for spatial_size")
+        if self.max_voxels == 0:
+            # Auto capacity: enough for typical LArTPC occupancy (~1e5 at 512^3),
+            # scaled by volume, MXU-aligned, never below the floor.
+            frac = 1e5 / float(512 ** 3)
+            auto = int(frac * self.spatial_size ** self.data_dim * 2)
+            object.__setattr__(
+                self, "max_voxels",
+                max(self.min_level_capacity, _round_up(auto, 128)))
+
+    # UPPERCASE attribute access for reference-flag familiarity.
+    def __getattr__(self, name: str):
+        if name.isupper():
+            try:
+                return object.__getattribute__(self, name.lower())
+            except AttributeError:
+                pass
+        raise AttributeError(name)
+
+    # ---- derived quantities ----
+    @property
+    def dim(self) -> int:
+        return self.data_dim
+
+    @property
+    def n_planes(self) -> Tuple[int, ...]:
+        m, s = self.uresnet_filters, self.uresnet_num_strides
+        if self.width_ramp == "linear":
+            return tuple(m * (i + 1) for i in range(s))
+        return tuple(m * (2 ** i) for i in range(s))
+
+    @property
+    def axis_bits(self) -> int:
+        return max(1, int(math.ceil(math.log2(self.spatial_size))))
+
+    def level_spatial_size(self, level: int) -> int:
+        return max(1, self.spatial_size >> level)
+
+    def level_capacity(self, level: int) -> int:
+        """Static active-site capacity (padded rows) at resolution `level`."""
+        cap = self.max_voxels * (self.capacity_factor ** level)
+        cap = max(self.min_level_capacity, int(cap))
+        # never exceed the number of cells at this level
+        cells = self.level_spatial_size(level) ** self.data_dim
+        return _round_up(min(cap, cells), 8)
+
+    def replace(self, **kw) -> "URESNetConfig":
+        return dataclasses.replace(self, **kw)
