@@ -4,10 +4,24 @@ multi-chip sharding paths are exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# This environment pre-imports jax at interpreter startup (axon sitecustomize)
+# with JAX_PLATFORMS=axon, so env vars alone are too late — force the config
+# before any backend initialises.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Single-core box: XLA compiles dominate test time. Persist compilations
+# across runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

@@ -43,6 +43,7 @@ class IOBase:
         self._epoch_order: Optional[np.ndarray] = None
         self._cursor = 0
         self._rng = np.random.default_rng(cfg.seed)
+        self._pred_writer = None
 
     # -------- subclass interface --------
     def _read_event(self, index: int) -> Dict[str, tuple]:
@@ -83,9 +84,15 @@ class IOBase:
             for t in self._threads:
                 t.join(timeout=0.05)
         self._threads = []
+        if self._pred_writer is not None:
+            self._pred_writer.close()
+            self._pred_writer = None
 
     def store_segment(self, index, blob, softmax) -> None:
-        raise NotImplementedError(f"{type(self).__name__} has no output writer")
+        if self._pred_writer is None:
+            from uresnet_pytorch_tpu.iotools.writer import PredictionWriter
+            self._pred_writer = PredictionWriter(self.cfg)
+        self._pred_writer.store_segment(index, blob, softmax)
 
     # -------- batching --------
     def _next_indices(self, rng) -> np.ndarray:

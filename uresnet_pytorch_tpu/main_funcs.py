@@ -1,0 +1,150 @@
+"""Driver loops (reference: uresnet/main_funcs.py, SURVEY.md §2.3, §3.1-3.2).
+
+CSV schema keeps the reference's columns (iter, epoch, loss, accuracy,
+titer/tio/tforward/tbackward/tsave, lr — SURVEY.md §5.5) for easy diffing.
+On TPU forward+backward+update fuse into one XLA program, so ``tforward``
+carries the whole fused device step and ``tbackward`` is 0 by construction.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from uresnet_pytorch_tpu.config import URESNetConfig
+from uresnet_pytorch_tpu.iotools import io_factory
+from uresnet_pytorch_tpu.trainval import TrainVal
+from uresnet_pytorch_tpu.utils import CSVData, StopWatch
+
+
+def _maybe_start_profiler(cfg: URESNetConfig):
+    if cfg.profile_dir:
+        import jax
+        jax.profiler.start_trace(cfg.profile_dir)
+        return lambda: jax.profiler.stop_trace()
+    return lambda: None
+
+
+def train(cfg: URESNetConfig, io=None) -> TrainVal:
+    import jax
+    io = io or io_factory(cfg)
+    tv = TrainVal(cfg)
+    io.initialize()
+    tv.initialize()
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    csv = CSVData(os.path.join(cfg.log_dir, "train_log.csv"))
+    watch = StopWatch()
+    stop_profiler = _maybe_start_profiler(cfg)
+    epoch_per_iter = cfg.batch_size / max(1, len(io))
+    start_step = tv.global_step
+    try:
+        for it in range(start_step, cfg.iteration):
+            watch.start("iter")
+            watch.start("io")
+            blob = io.next()
+            tio = watch.stop("io")
+            watch.start("forward")
+            metrics = tv.train_step(blob)
+            loss = float(metrics["loss"])
+            acc = float(metrics["accuracy"])
+            tfwd = watch.stop("forward")
+            tsave = 0.0
+            if cfg.checkpoint_step > 0 and (it + 1) % cfg.checkpoint_step == 0:
+                watch.start("save")
+                tv.save_state(it + 1)
+                tsave = watch.stop("save")
+            titer = watch.stop("iter")
+            if cfg.report_step > 0 and (it + 1) % cfg.report_step == 0:
+                csv.record(
+                    ["iter", "epoch", "loss", "accuracy", "titer", "tio",
+                     "tforward", "tbackward", "tsave", "lr"],
+                    [it + 1, (it + 1) * epoch_per_iter, loss, acc, titer, tio,
+                     tfwd, 0.0, tsave, cfg.learning_rate])
+                csv.write()
+                csv.flush()
+                print(f"iter {it + 1}/{cfg.iteration} epoch "
+                      f"{(it + 1) * epoch_per_iter:.3f} loss {loss:.4f} "
+                      f"acc {acc:.4f} titer {titer:.3f}s (io {tio:.3f}s)",
+                      flush=True)
+        if cfg.checkpoint_step > 0 and cfg.iteration % cfg.checkpoint_step != 0:
+            tv.save_state(cfg.iteration)
+    finally:
+        stop_profiler()
+        csv.close()
+        io.finalize()
+    return tv
+
+
+def inference(cfg: URESNetConfig, io=None) -> dict:
+    io = io or io_factory(cfg)
+    tv = TrainVal(cfg.replace(train=False, model_path=""))
+    io.initialize()
+    tv.initialize()
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    csv = CSVData(os.path.join(cfg.log_dir, "inference_log.csv"))
+    ckpts = sorted(glob.glob(cfg.model_path)) if cfg.model_path else [None]
+    if cfg.model_path and not ckpts:
+        raise FileNotFoundError(f"no checkpoint matches {cfg.model_path!r}")
+    n_iters = max(1, len(io) // cfg.batch_size)
+    last_summary = {}
+    try:
+        for ckpt in ckpts:
+            if ckpt is not None:
+                tv.restore_state(ckpt)
+            tot_loss = tot_acc = 0.0
+            cls_correct = np.zeros(cfg.num_class)
+            cls_count = np.zeros(cfg.num_class)
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                blob = io.next()
+                res = tv.forward(blob)
+                tot_loss += float(res["loss"])
+                tot_acc += float(res["accuracy"])
+                pca = np.asarray(res["per_class_accuracy"])
+                cc = np.asarray(res["class_count"])
+                cls_correct += pca * cc
+                cls_count += cc
+                if cfg.output_file:
+                    io.store_segment(blob["index"], blob,
+                                     np.asarray(res["softmax"]))
+            dt = time.perf_counter() - t0
+            per_class = cls_correct / np.maximum(cls_count, 1.0)
+            row_keys = (["ckpt", "loss", "accuracy", "events_per_sec"] +
+                        [f"acc_class{c}" for c in range(cfg.num_class)])
+            row_vals = ([os.path.basename(ckpt) if ckpt else "none",
+                         tot_loss / n_iters, tot_acc / n_iters,
+                         n_iters * cfg.batch_size / dt] + list(per_class))
+            csv.record(row_keys, row_vals)
+            csv.write()
+            csv.flush()
+            last_summary = dict(zip(row_keys, row_vals))
+            print(f"inference {last_summary['ckpt']}: loss "
+                  f"{last_summary['loss']:.4f} acc {last_summary['accuracy']:.4f} "
+                  f"({last_summary['events_per_sec']:.2f} ev/s)", flush=True)
+    finally:
+        csv.close()
+        io.finalize()
+    return last_summary
+
+
+def iotest(cfg: URESNetConfig, io=None) -> float:
+    """Loader-only throughput test (reference iotest mode, SURVEY.md §2.3)."""
+    io = io or io_factory(cfg)
+    io.initialize()
+    n = max(1, cfg.iteration)
+    try:
+        io.next()  # warmup / thread spin-up
+        t0 = time.perf_counter()
+        for _ in range(n):
+            blob = io.next()
+        dt = time.perf_counter() - t0
+    finally:
+        io.finalize()
+    eps = n * cfg.batch_size / dt
+    print(f"iotest: {n} batches, {eps:.1f} events/s", flush=True)
+    return eps

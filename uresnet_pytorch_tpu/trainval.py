@@ -1,0 +1,153 @@
+"""Train/val core (reference: uresnet/trainval.py, SURVEY.md §2.4).
+
+Same surface as the reference class: ``initialize()``, ``train_step(blob)``,
+``forward(blob)``, ``save_state(iteration)``, ``restore_state(path)``.
+
+TPU-native internals: one fused, jitted update (forward + backward + Adam) —
+there is no separate "backward kernel launch" as on GPU; XLA compiles the
+whole step into one program. Data-parallel sharding is applied by
+:mod:`uresnet_pytorch_tpu.parallel` when more than one device is visible
+(reference splits the batch into per-GPU minibatches manually; here a
+jax.sharding Mesh shards the same batch arrays and XLA inserts the ICI
+gradient allreduce).
+"""
+
+from __future__ import annotations
+
+import glob
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from uresnet_pytorch_tpu.config import URESNetConfig
+from uresnet_pytorch_tpu.models import construct
+from uresnet_pytorch_tpu.models.losses import segmentation_loss
+from uresnet_pytorch_tpu.utils.checkpoint import (
+    checkpoint_path, latest_checkpoint, restore_checkpoint, save_checkpoint)
+
+
+def _batch_from_blob(blob: Dict[str, np.ndarray], use_weight: bool) -> Dict[str, np.ndarray]:
+    batch = {
+        "coords": blob["coords"],
+        "values": blob["values"],
+        "n_voxels": blob["n_voxels"],
+    }
+    if "label" in blob:
+        batch["label"] = blob["label"]
+    if use_weight and "weight" in blob:
+        batch["weight"] = blob["weight"]
+    return batch
+
+
+class TrainVal:
+    def __init__(self, cfg: URESNetConfig):
+        self.cfg = cfg
+        self.model = None
+        self.state: Optional[Dict[str, Any]] = None
+        self.tx = None
+        self._jit_train = None
+        self._jit_forward = None
+        self._sharding = None
+
+    # ------------------------------------------------------------------
+    def initialize(self) -> None:
+        cfg = self.cfg
+        self.model = construct(cfg.model_name)(cfg)
+        rng = jax.random.PRNGKey(cfg.seed)
+        B = max(1, cfg.batch_size)
+        dummy = (
+            jnp.zeros((B, cfg.max_voxels, cfg.data_dim), jnp.int32),
+            jnp.zeros((B, cfg.max_voxels), jnp.float32),
+            jnp.ones((B,), jnp.int32),
+        )
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
+            rng, *dummy, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.tx = optax.adam(cfg.learning_rate)
+        self.state = {
+            "step": jnp.zeros((), jnp.int32),
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": self.tx.init(params),
+        }
+        if cfg.model_path:
+            self.restore_state(sorted(glob.glob(cfg.model_path))[-1]
+                               if glob.glob(cfg.model_path) else cfg.model_path)
+        elif cfg.resume:
+            latest = latest_checkpoint(cfg.weight_prefix)
+            if latest:
+                self.restore_state(latest)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch_stats, batch, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(train=train)
+        if train:
+            logits, mut = self.model.apply(
+                variables, batch["coords"], batch["values"], batch["n_voxels"],
+                mutable=["batch_stats"], **kwargs)
+            new_stats = mut["batch_stats"]
+        else:
+            logits = self.model.apply(
+                variables, batch["coords"], batch["values"], batch["n_voxels"],
+                **kwargs)
+            new_stats = batch_stats
+        metrics = segmentation_loss(
+            logits, batch["label"], batch["n_voxels"],
+            weights=batch.get("weight"), num_class=self.cfg.num_class,
+            return_softmax=not train)
+        return metrics["loss"], (new_stats, metrics)
+
+    def _build_steps(self) -> None:
+        def train_step(state, batch):
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (_, (new_stats, metrics)), grads = grad_fn(
+                state["params"], state["batch_stats"], batch, True)
+            updates, new_opt = self.tx.update(grads, state["opt_state"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            new_state = {
+                "step": state["step"] + 1,
+                "params": new_params,
+                "batch_stats": new_stats,
+                "opt_state": new_opt,
+            }
+            return new_state, metrics
+
+        def forward_step(state, batch):
+            _, (_, metrics) = self._loss_fn(
+                state["params"], state["batch_stats"], batch, False)
+            return metrics
+
+        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_forward = jax.jit(forward_step)
+
+    # ------------------------------------------------------------------
+    def train_step(self, blob: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        batch = _batch_from_blob(blob, use_weight=bool(self.cfg.weight_key)
+                                 or "weight" in blob)
+        self.state, metrics = self._jit_train(self.state, batch)
+        return metrics
+
+    def forward(self, blob: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        batch = _batch_from_blob(blob, use_weight=bool(self.cfg.weight_key)
+                                 or "weight" in blob)
+        if "label" not in batch:  # pure inference without labels
+            batch["label"] = np.zeros(blob["values"].shape, np.int32)
+        return self._jit_forward(self.state, batch)
+
+    # ------------------------------------------------------------------
+    @property
+    def global_step(self) -> int:
+        return int(self.state["step"])
+
+    def save_state(self, iteration: int) -> str:
+        return save_checkpoint(
+            checkpoint_path(self.cfg.weight_prefix, iteration), self.state)
+
+    def restore_state(self, path: str) -> None:
+        self.state = restore_checkpoint(path, self.state)
