@@ -1,0 +1,50 @@
+"""Masked BatchNorm over active voxel rows.
+
+SCN's BatchNormalization normalises over active sites only (SURVEY.md §2.10);
+the dense-tensor analog would include padding garbage, so this is a custom
+module: moments over rows where mask is True, across batch and row axes.
+Running stats live in the standard flax 'batch_stats' collection. Per-device
+statistics (no cross-chip psum) — matching the reference's per-GPU BN
+(SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    momentum: float = 0.9
+    epsilon: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
+        """x (B, V, C), mask (B, V) bool."""
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        if train:
+            m = mask[..., None].astype(jnp.float32)
+            xf = x.astype(jnp.float32) * m
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(xf, axis=(0, 1)) / count
+            var = jnp.sum(jnp.square(xf), axis=(0, 1)) / count - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jnp.reciprocal(
+            jnp.sqrt(var + self.epsilon))
+        y = y * scale + bias
+        return y.astype(x.dtype)
