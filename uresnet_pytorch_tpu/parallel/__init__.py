@@ -1,0 +1,2 @@
+from uresnet_pytorch_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding, make_mesh, replicated_sharding, shard_batch)

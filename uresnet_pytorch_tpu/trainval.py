@@ -25,6 +25,8 @@ import optax
 from uresnet_pytorch_tpu.config import URESNetConfig
 from uresnet_pytorch_tpu.models import construct
 from uresnet_pytorch_tpu.models.losses import segmentation_loss
+from uresnet_pytorch_tpu.parallel import (
+    batch_sharding, make_mesh, replicated_sharding)
 from uresnet_pytorch_tpu.utils.checkpoint import (
     checkpoint_path, latest_checkpoint, restore_checkpoint, save_checkpoint)
 
@@ -43,18 +45,31 @@ def _batch_from_blob(blob: Dict[str, np.ndarray], use_weight: bool) -> Dict[str,
 
 
 class TrainVal:
-    def __init__(self, cfg: URESNetConfig):
+    def __init__(self, cfg: URESNetConfig, mesh=None):
         self.cfg = cfg
         self.model = None
         self.state: Optional[Dict[str, Any]] = None
         self.tx = None
         self._jit_train = None
         self._jit_forward = None
-        self._sharding = None
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
     def initialize(self) -> None:
         cfg = self.cfg
+        if self.mesh is None:
+            # 1-D data mesh over all (or --gpus selected) devices; a
+            # single-device mesh compiles to a plain single-chip program.
+            self.mesh = make_mesh(device_ids=cfg.gpus)
+        n_dev = self.mesh.devices.size
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by {n_dev} "
+                f"devices (set -bs to a multiple, or -mbs per-device size)")
+        if cfg.minibatch_size > 0 and cfg.minibatch_size * n_dev != cfg.batch_size:
+            raise ValueError(
+                f"minibatch_size*n_devices = {cfg.minibatch_size * n_dev} "
+                f"!= batch_size {cfg.batch_size}")
         self.model = construct(cfg.model_name)(cfg)
         rng = jax.random.PRNGKey(cfg.seed)
         B = max(1, cfg.batch_size)
@@ -123,8 +138,18 @@ class TrainVal:
                 state["params"], state["batch_stats"], batch, False)
             return metrics
 
-        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
-        self._jit_forward = jax.jit(forward_step)
+        # Parameters/optimizer replicate; the batch shards events across the
+        # 'data' mesh axis. XLA GSPMD derives the gradient allreduce (psum
+        # over ICI) from these shardings (SURVEY.md §2.9, §5.8).
+        rep = replicated_sharding(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+        self._batch_sharding = bsh
+        self._jit_train = jax.jit(
+            train_step, donate_argnums=(0,),
+            in_shardings=(rep, bsh), out_shardings=(rep, rep))
+        self._jit_forward = jax.jit(
+            forward_step, in_shardings=(rep, bsh))
 
     # ------------------------------------------------------------------
     def train_step(self, blob: Dict[str, np.ndarray]) -> Dict[str, Any]:
