@@ -5,14 +5,21 @@ one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md), and no
-GPU is attached here; the denominator is the north-star's H100-SparseConvNet
-anchor estimated at 100 events/s/chip for this workload (BASELINE.md context:
-V100-era ~15-30 ev/s for this code lineage; H100 ≈ 3-5x V100). The ≥5x
-north-star target therefore corresponds to vs_baseline >= 5.0.
+Timing method: on this tunneled TPU platform `block_until_ready` does not
+reliably block, so the forward pass runs inside a jitted `lax.fori_loop`
+(iterations chained through a data dependency) and the wall clock is anchored
+on fetching a scalar to host. Per-event time = slope between an N1-iteration
+and an N2-iteration run, cancelling the constant dispatch+fetch overhead
+(~28 ms measured).
 
-Env knobs: BENCH_BATCH (default 4), BENCH_ITERS (default 16),
-BENCH_VOXELS (default 100000), BENCH_SMOKE=1 shrinks everything (CI).
+vs_baseline: the reference repo publishes no numbers (BASELINE.md) and no GPU
+is attached here; the denominator anchors H100-SparseConvNet at 100 events/s
+for this workload (BASELINE.md: V100-era ~15-30 ev/s for this code lineage;
+H100 ≈ 3-5x V100). The ≥5x north-star target is vs_baseline >= 5.0.
+
+Env knobs: BENCH_BATCH (default 4), BENCH_VOXELS (default 100000),
+BENCH_SMOKE=1 shrinks everything, BENCH_CONFIG selects other BASELINE
+configs (see benchmarks/run_all.py for the full suite).
 """
 
 import json
@@ -27,14 +34,45 @@ import numpy as np
 H100_SCN_EVENTS_PER_SEC = 100.0  # documented anchor, see module docstring
 
 
+def timed_loop(step_fn, args_template, n1=1, n2=5):
+    """Per-iteration seconds via two chained fori_loop runs (see module
+    docstring). step_fn(carry, i) -> scalar contribution; here we wrap a
+    model forward whose output feeds the next iteration's input."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(n):
+        @jax.jit
+        def f(vr, c, v, nv, eps):
+            def body(i, carry):
+                v2, acc = carry
+                out = step_fn(vr, c, v2, nv)
+                s = (out.astype(jnp.float32).sum() * eps)
+                return (v2 + s, acc + s)
+            _, acc = jax.lax.fori_loop(0, n, body, (v, jnp.float32(0.0)))
+            return acc
+        return f
+
+    eps = np.float32(1e-30)
+    times = {}
+    for n in (n1, n2):
+        f = make(n)
+        np.asarray(f(*args_template, eps))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(f(*args_template, eps))
+        times[n] = time.perf_counter() - t0
+    return max(times[n2] - times[n1], 1e-9) / (n2 - n1)
+
+
 def main():
     import jax
+    import jax.numpy as jnp
     from uresnet_pytorch_tpu.config import URESNetConfig
     from uresnet_pytorch_tpu.models import construct
+    from uresnet_pytorch_tpu.iotools.synthetic import generate_event
 
     smoke = os.environ.get("BENCH_SMOKE") == "1"
     batch = int(os.environ.get("BENCH_BATCH", 2 if smoke else 4))
-    iters = int(os.environ.get("BENCH_ITERS", 3 if smoke else 16))
     n_vox = int(os.environ.get("BENCH_VOXELS", 2000 if smoke else 100_000))
     spatial = 64 if smoke else 512
 
@@ -42,16 +80,16 @@ def main():
         model_name="uresnet_sparse", num_class=5, uresnet_filters=16,
         uresnet_num_strides=5, spatial_size=spatial, data_dim=3, reps=2,
         max_voxels=max(256, 1 << int(np.ceil(np.log2(n_vox * 1.3)))),
-        capacity_factor=1.0, batch_size=batch, compute_dtype="bfloat16")
+        capacity_factor=0.5, min_level_capacity=2048 if not smoke else 64,
+        batch_size=batch, compute_dtype="bfloat16")
 
-    # synthetic 512^3 events with ~n_vox active voxels
-    from uresnet_pytorch_tpu.iotools.synthetic import generate_event
     coords = np.zeros((batch, cfg.max_voxels, 3), np.int32)
     values = np.zeros((batch, cfg.max_voxels), np.float32)
     n_voxels = np.zeros((batch,), np.int32)
     for b in range(batch):
+        # generator dedupe eats ~35%: inflate the target to land near n_vox
         c, v, _ = generate_event(0, b, spatial, 3,
-                                 mean_voxels=n_vox)
+                                 mean_voxels=int(n_vox * 1.5))
         n = min(len(c), cfg.max_voxels)
         coords[b, :n], values[b, :n], n_voxels[b] = c[:n], v[:n], n
 
@@ -59,22 +97,13 @@ def main():
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), coords, values, n_voxels, train=False)
 
-    @jax.jit
-    def fwd(variables, coords, values, n_voxels):
-        return model.apply(variables, coords, values, n_voxels, train=False)
+    def fwd(vr, c, v, nv):
+        return model.apply(vr, c, v, nv, train=False)
 
-    args = jax.device_put((variables, jax.numpy.asarray(coords),
-                           jax.numpy.asarray(values),
-                           jax.numpy.asarray(n_voxels)))
-    fwd(*args).block_until_ready()  # compile + warmup
-    fwd(*args).block_until_ready()
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(*args)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    ev_per_sec = iters * batch / dt
+    args = jax.device_put((variables, jnp.asarray(coords),
+                           jnp.asarray(values), jnp.asarray(n_voxels)))
+    sec_per_batch = timed_loop(fwd, args, n1=1, n2=3 if smoke else 5)
+    ev_per_sec = batch / sec_per_batch
 
     print(json.dumps({
         "metric": "sparse_uresnet_inference_512c_events_per_sec_per_chip",

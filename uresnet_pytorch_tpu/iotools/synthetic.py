@@ -30,13 +30,16 @@ def _track(rng, size, n_pts, width, jitter=0.4):
 
 
 def _shower(rng, size, n_pts):
-    """EM shower: branching random walk forming a diffuse cone."""
+    """EM shower: diffuse cone; width grows with point count so voxel
+    occupancy stays O(1) after dedupe."""
     apex = rng.uniform(0.2 * size, 0.8 * size, 3)
     axis = rng.normal(size=3)
     axis /= np.linalg.norm(axis) + 1e-9
-    t = rng.uniform(0.0, 0.35 * size, n_pts)
-    spread = 0.08 + 0.25 * t / (0.35 * size + 1e-9)
-    perp = rng.normal(size=(n_pts, 3)) * (spread * t)[:, None] * 0.5
+    length = min(0.45 * size, max(24.0, 1.2 * n_pts ** 0.5))
+    t = rng.uniform(0.0, length, n_pts)
+    width = max(0.6, 0.7 * (n_pts / max(length, 1.0)) ** 0.5)
+    spread = 0.15 + 0.85 * t / (length + 1e-9)
+    perp = rng.normal(size=(n_pts, 3)) * (spread * width)[:, None]
     return apex[None, :] + t[:, None] * axis[None, :] + perp
 
 
@@ -53,7 +56,9 @@ def generate_event(seed: int, index: int, spatial_size: int, data_dim: int = 3,
     """
     rng = np.random.default_rng(np.random.SeedSequence([seed, index]))
     size = spatial_size
-    budget = max(32, int(rng.poisson(mean_voxels)))
+    # total point budget ~ Normal(mean, 0.15*mean): realistic event-to-event
+    # spread without the tails that blow out static buffer capacities
+    budget = max(32, int(rng.normal(mean_voxels, 0.15 * mean_voxels)))
     pts_list, val_list, lab_list = [], [], []
 
     def add(pts, label, dedx):
@@ -62,29 +67,34 @@ def generate_event(seed: int, index: int, spatial_size: int, data_dim: int = 3,
         val_list.append(vals)
         lab_list.append(np.full(len(pts), label, dtype=np.int32))
 
-    # event size scales with the voxel budget
-    scale = max(0.05, budget / 2048.0)
-    n_tracks = int(rng.integers(1, 4))
-    for _ in range(n_tracks):
-        # MIP (long, thin, ~2 MeV/cm) or HIP (short, dense)
-        if rng.random() < 0.5:
-            n = max(8, int(rng.integers(50, 400) * scale))
-            pts = _track(rng, size, n, width=1.0)
-            add(pts, 1, dedx=2.0)  # MIP
-            if rng.random() < 0.5:  # Michel at the end
-                m = max(4, int(rng.integers(10, 60) * scale))
-                add(_track(rng, size, m, width=1.5, jitter=1.5) * 0.15
-                    + pts[-1][None, :] * 0.85, 4, dedx=2.5)
-            if rng.random() < 0.5:  # delta ray off the track
-                k = max(3, int(rng.integers(5, 30) * scale))
-                origin = pts[rng.integers(0, len(pts))]
-                add(_blob(rng, origin, k, scale=3.0), 3, dedx=1.5)
-        else:
-            n = max(6, int(rng.integers(20, 120) * scale))
-            add(_track(rng, size, n, width=1.2), 0, dedx=8.0)  # HIP
-    n_showers = int(rng.integers(0, 3))
-    for _ in range(n_showers):
-        n = max(16, int(rng.integers(100, max(101, mean_voxels)) * scale))
+    # split the budget over particle components (Dirichlet shares); large
+    # events contain proportionally more particles (a single track can only
+    # occupy ~3x its chord length in voxels)
+    mult = max(1, budget // 4000)
+    n_mip = int(rng.integers(1, 4)) * mult
+    n_hip = int(rng.integers(0, 3)) * max(1, mult // 2)
+    n_shower = int(rng.integers(1, 4)) * mult
+    shares = rng.dirichlet(
+        np.concatenate([np.full(n_mip, 2.0), np.full(n_hip, 1.0),
+                        np.full(n_shower, 3.0)]))
+    parts = iter(shares)
+    for _ in range(n_mip):
+        n = max(8, int(next(parts) * budget))
+        pts = _track(rng, size, n, width=1.0)
+        add(pts, 1, dedx=2.0)  # MIP
+        if rng.random() < 0.5:  # Michel electron at the track end
+            m = max(4, n // 8)
+            add(_track(rng, size, m, width=1.5, jitter=1.5) * 0.15
+                + pts[-1][None, :] * 0.85, 4, dedx=2.5)
+        if rng.random() < 0.5:  # delta ray off the track
+            k = max(3, n // 12)
+            origin = pts[rng.integers(0, len(pts))]
+            add(_blob(rng, origin, k, scale=3.0), 3, dedx=1.5)
+    for _ in range(n_hip):
+        n = max(6, int(next(parts) * budget))
+        add(_track(rng, size, n, width=1.2), 0, dedx=8.0)  # HIP
+    for _ in range(n_shower):
+        n = max(16, int(next(parts) * budget))
         add(_shower(rng, size, n), 2, dedx=1.2)
 
     pts = np.concatenate(pts_list, axis=0)
@@ -105,13 +115,10 @@ def generate_event(seed: int, index: int, spatial_size: int, data_dim: int = 3,
     uniq, inv = np.unique(keys, return_inverse=True)
     out_vals = np.zeros(len(uniq), np.float32)
     np.add.at(out_vals, inv, vals)
-    # label: hit with max value wins within each voxel
-    best = np.full(len(uniq), -1.0, np.float32)
-    out_labs = np.zeros(len(uniq), np.int32)
-    for i in range(len(coords)):  # N is a few thousand; fine on host
-        j = inv[i]
-        if vals[i] > best[j]:
-            best[j] = vals[i]
-            out_labs[j] = labs[i]
+    # label: hit with max value wins within each voxel (vectorized: sort by
+    # (voxel, value) and take each group's last element)
+    order2 = np.lexsort((vals, inv))
+    last = np.searchsorted(inv[order2], np.arange(len(uniq)), side="right") - 1
+    out_labs = labs[order2[last]]
     first = np.searchsorted(keys, uniq)
     return coords[first], out_vals, out_labs
