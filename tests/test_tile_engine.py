@@ -1,0 +1,153 @@
+"""Tile-engine tests: fold/unfold algebra, single-tile dense oracle, and the
+decisive cross-engine equivalence — the tiled-dense model must reproduce the
+row-gather engine's logits bit-for-class with identical parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uresnet_pytorch_tpu.config import URESNetConfig
+
+
+def _cfg(engine, **kw):
+    base = dict(model_name="uresnet_sparse", num_class=5, uresnet_filters=4,
+                uresnet_num_strides=3, spatial_size=16, data_dim=3,
+                reps=1, max_voxels=256, min_level_capacity=32, batch_size=2,
+                io_type="synthetic", learning_rate=0.01,
+                compute_dtype="float32", shuffle=False,
+                sparse_engine=engine, tile_size=4, min_tiles=64)
+    base.update(kw)
+    return URESNetConfig(**base)
+
+
+def _blob(cfg, mean_voxels=100):
+    from uresnet_pytorch_tpu.iotools import io_factory
+    io = io_factory(cfg, n_events=4, mean_voxels=mean_voxels)
+    io.initialize()
+    blob = io.next()
+    io.finalize()
+    return blob
+
+
+def test_fold_unfold_roundtrip():
+    from uresnet_pytorch_tpu.ops.tile_conv import fold2, unfold2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 4, 4, 4, 5)).astype(np.float32))
+    f = fold2(x)
+    assert f.shape == (2, 3, 2, 2, 2, 40)
+    np.testing.assert_array_equal(np.asarray(unfold2(f)), np.asarray(x))
+    # fold block layout: block bits x-major over channels
+    np.testing.assert_array_equal(np.asarray(f[0, 0, 0, 0, 0, :5]),
+                                  np.asarray(x[0, 0, 0, 0, 0]))
+    np.testing.assert_array_equal(np.asarray(f[0, 0, 0, 0, 0, 5:10]),
+                                  np.asarray(x[0, 0, 0, 0, 1]))  # z-bit
+    np.testing.assert_array_equal(np.asarray(f[0, 0, 0, 0, 0, 20:25]),
+                                  np.asarray(x[0, 0, 1, 0, 0]))  # x-bit
+
+
+def test_single_tile_conv_matches_dense():
+    """One fully-active tile, no neighbors: tiled submanifold conv == dense
+    SAME conv with zero boundary."""
+    from uresnet_pytorch_tpu.ops.tile_conv import submanifold_conv_tiled
+    rng = np.random.default_rng(1)
+    t, Cin, Cout = 4, 3, 2
+    x = rng.normal(size=(1, 1, t ** 3, Cin)).astype(np.float32)
+    occ = np.ones((1, 1, t ** 3), bool)
+    nbr = np.zeros((1, 6, 1), np.int32)
+    ok = np.zeros((1, 6, 1), bool)  # no neighbors
+    w = rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.2
+    out = submanifold_conv_tiled(jnp.asarray(x), jnp.asarray(occ),
+                                 jnp.asarray(nbr), jnp.asarray(ok), t, 3,
+                                 jnp.asarray(w))
+    dense = jax.lax.conv_general_dilated(
+        jnp.asarray(x).reshape(1, t, t, t, Cin),
+        jnp.asarray(w).reshape(3, 3, 3, Cin, Cout),
+        window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(out).reshape(t, t, t, Cout),
+                               np.asarray(dense)[0], atol=1e-4)
+
+
+def test_halo_extend_neighbors():
+    """Two adjacent tiles: the halo face must carry the neighbor's data."""
+    from uresnet_pytorch_tpu.ops.tile_conv import halo_extend
+    t = 4
+    x = np.zeros((1, 2, t ** 3, 1), np.float32)
+    x[0, 0] = 1.0
+    x[0, 1] = 2.0
+    # tile 1 is at +x of tile 0
+    nbr = np.zeros((1, 6, 2), np.int32)
+    ok = np.zeros((1, 6, 2), bool)
+    nbr[0, 1, 0] = 1   # tile0's +x neighbor is tile1
+    ok[0, 1, 0] = True
+    nbr[0, 0, 1] = 0   # tile1's -x neighbor is tile0
+    ok[0, 0, 1] = True
+    ext = np.asarray(halo_extend(jnp.asarray(x), jnp.asarray(nbr),
+                                 jnp.asarray(ok), t, 3))
+    ext = ext.reshape(1, 2, t + 2, t + 2, t + 2, 1)
+    # tile0 high-x halo = tile1's low-x face (interior cells only)
+    assert (ext[0, 0, t + 1, 1:t + 1, 1:t + 1] == 2.0).all()
+    assert (ext[0, 0, 0] == 0).all()              # no -x neighbor
+    assert (ext[0, 1, 0, 1:t + 1, 1:t + 1] == 1.0).all()
+    assert (ext[0, 1, :, 0] == 0).all()           # no y neighbors
+
+
+@pytest.mark.parametrize("spatial,strides,tile", [(16, 3, 4), (8, 3, 4)])
+def test_engine_equivalence(spatial, strides, tile):
+    """Gather and tile engines share params and must agree on logits.
+    (8,3,4) exercises the shrinking-tile identity link at the deep level."""
+    from uresnet_pytorch_tpu.models import construct
+    cfg_g = _cfg("gather", spatial_size=spatial, uresnet_num_strides=strides,
+                 tile_size=tile)
+    cfg_t = cfg_g.replace(sparse_engine="tile")
+    blob = _blob(cfg_g, mean_voxels=80)
+    args = (jnp.asarray(blob["coords"]), jnp.asarray(blob["values"]),
+            jnp.asarray(blob["n_voxels"]))
+    mg = construct("uresnet_sparse")(cfg_g)
+    mt = construct("uresnet_sparse")(cfg_t)
+    rng = jax.random.PRNGKey(3)
+    vg = jax.jit(mg.init, static_argnames=("train",))(rng, *args, train=False)
+    vt = jax.jit(mt.init, static_argnames=("train",))(rng, *args, train=False)
+    # identical parameter trees
+    sg = jax.tree_util.tree_structure(vg)
+    st = jax.tree_util.tree_structure(vt)
+    assert sg == st, f"param trees differ:\n{sg}\nvs\n{st}"
+    out_g = jax.jit(mg.apply, static_argnames=("train",))(vg, *args, train=False)
+    out_t = jax.jit(mt.apply, static_argnames=("train",))(vg, *args, train=False)
+    n = blob["n_voxels"]
+    for b in range(len(n)):
+        np.testing.assert_allclose(np.asarray(out_t)[b, :n[b]],
+                                   np.asarray(out_g)[b, :n[b]],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_tile_engine_trains():
+    from uresnet_pytorch_tpu.trainval import TrainVal
+    cfg = _cfg("tile")
+    tv = TrainVal(cfg)
+    tv.initialize()
+    blob = _blob(cfg)
+    losses = [float(tv.train_step(blob)["loss"]) for _ in range(12)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_tile_padding_invariance():
+    from uresnet_pytorch_tpu.trainval import TrainVal
+    cfg = _cfg("tile")
+    tv = TrainVal(cfg)
+    tv.initialize()
+    blob = _blob(cfg)
+    res1 = tv.forward(blob)
+    blob2 = {k: v.copy() for k, v in blob.items()}
+    for b in range(2):
+        n = int(blob2["n_voxels"][b])
+        blob2["values"][b, n:] = 55.0
+        blob2["coords"][b, n:] = 3
+    res2 = tv.forward(blob2)
+    for b in range(2):
+        n = int(blob["n_voxels"][b])
+        np.testing.assert_allclose(np.asarray(res1["softmax"])[b, :n],
+                                   np.asarray(res2["softmax"])[b, :n],
+                                   atol=1e-5)

@@ -44,6 +44,13 @@ class URESNetConfig:
     capacity_factor: float = 1.0        # cap[l+1] = cap[l] * factor (<=1.0 always safe)
     min_level_capacity: int = 256       # floor so deep levels keep MXU-friendly tiles
 
+    # ---- sparse engine selection (TPU-native; see docs/ARCHITECTURE.md) ----
+    sparse_engine: str = "tile"         # {tile, gather}: tiled-dense MXU engine
+    #                                     vs row-gather oracle/fallback
+    tile_size: int = 8                  # tile edge t (power of two)
+    tile_occupancy: float = 8.0         # capacity divisor: tiles ~= voxels/this
+    min_tiles: int = 64                 # floor on per-level tile capacity
+
     # ---- io (reference: --io-type/-io etc.) ----
     io_type: str = "h5"                 # {h5, larcv_sparse, larcv_dense, synthetic}
     input_file: Tuple[str, ...] = ()
@@ -93,6 +100,15 @@ class URESNetConfig:
             raise ValueError("uresnet_num_strides must be >= 1")
         if (self.spatial_size >> (self.uresnet_num_strides - 1)) < 1:
             raise ValueError("too many strides for spatial_size")
+        if self.sparse_engine not in ("tile", "gather"):
+            raise ValueError(f"unknown sparse_engine {self.sparse_engine!r}")
+        if self.tile_size & (self.tile_size - 1) or self.tile_size < 2:
+            raise ValueError("tile_size must be a power of two >= 2")
+        if (self.sparse_engine == "tile"
+                and (self.spatial_size >> (self.uresnet_num_strides - 1)) < 2):
+            raise ValueError(
+                "tile engine needs spatial_size >= 2 at the deepest level; "
+                "reduce uresnet_num_strides or use sparse_engine='gather'")
         if self.max_voxels == 0:
             # Auto capacity: enough for typical LArTPC occupancy (~1e5 at 512^3),
             # scaled by volume, MXU-aligned, never below the floor.

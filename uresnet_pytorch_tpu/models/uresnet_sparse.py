@@ -81,10 +81,10 @@ class SparseResBlock(nn.Module):
                 w[0].astype(self.cfg.compute_dtype),
                 preferred_element_type=jnp.float32,
             ).astype(self.cfg.compute_dtype)
-        y = BNAct(self.cfg)(x, mask, train)
-        y = SMConv(self.cfg, self.features)(y, level)
-        y = BNAct(self.cfg)(y, mask, train)
-        y = SMConv(self.cfg, self.features)(y, level)
+        y = BNAct(self.cfg, name="bn_a")(x, mask, train)
+        y = SMConv(self.cfg, self.features, name="conv_a")(y, level)
+        y = BNAct(self.cfg, name="bn_b")(y, mask, train)
+        y = SMConv(self.cfg, self.features, name="conv_b")(y, level)
         return shortcut + y
 
 
@@ -150,5 +150,12 @@ class UResNetSparse(nn.Module):
 
 
 @register_model("uresnet_sparse")
-def build_sparse(cfg: URESNetConfig) -> UResNetSparse:
+def build_sparse(cfg: URESNetConfig):
+    """Engine dispatch: 'tile' = tiled-dense MXU engine (default, fast);
+    'gather' = row-gather engine (oracle/fallback). Both share the same
+    parameter tree, so checkpoints are interchangeable."""
+    if cfg.sparse_engine == "tile":
+        from uresnet_pytorch_tpu.models.uresnet_sparse_tiled import (
+            UResNetSparseTiled)
+        return UResNetSparseTiled(cfg)
     return UResNetSparse(cfg)

@@ -1,0 +1,143 @@
+"""Submanifold-sparse U-ResNet on the tiled-dense engine.
+
+Identical topology and PARAMETER TREE to models/uresnet_sparse.py (the
+row-gather engine) — same module/param names, same (3^d|2^d, Cin, Cout)
+weight stacks — so the two are checkpoint-compatible and byte-comparable in
+tests. Only the data representation differs: active sites live in dense
+t^dim tiles (ops/tile_graph.py) and convolutions are halo-exchange +
+space-to-depth GEMMs (ops/tile_conv.py) instead of per-row gathers.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from uresnet_pytorch_tpu.config import URESNetConfig
+from uresnet_pytorch_tpu.models.uresnet_sparse import BNAct, _conv_init
+from uresnet_pytorch_tpu.ops.tile_conv import (
+    downsample_conv_tiled, submanifold_conv_tiled, upsample_conv_tiled)
+from uresnet_pytorch_tpu.ops.tile_graph import build_tile_graph, tile_size_at
+
+
+def _bn_flat(cfg, name, module, y, mask, train):
+    """Shared BNAct over flattened tile rows; re-zero inactive cells (the BN
+    bias would otherwise leak nonzeros into the dense tile interior and break
+    the submanifold invariant)."""
+    B, T, cells, C = y.shape
+    out = BNAct(cfg, name=name, parent=module)(
+        y.reshape(B, T * cells, C), mask.reshape(B, T * cells), train)
+    out = out.reshape(y.shape)
+    occ_mask = mask[..., None].astype(out.dtype)
+    return out * occ_mask
+
+
+class SMConvTile(nn.Module):
+    cfg: URESNetConfig
+    features: int
+
+    @nn.compact
+    def __call__(self, x, level, t):
+        cfg = self.cfg
+        K = 3 ** cfg.data_dim
+        w = self.param("w", _conv_init, (K, x.shape[-1], self.features))
+        return submanifold_conv_tiled(
+            x.astype(cfg.compute_dtype), level.occ, level.face_nbr,
+            level.face_ok, t, cfg.data_dim, w)
+
+
+class SparseResBlockTile(nn.Module):
+    cfg: URESNetConfig
+    features: int
+
+    @nn.compact
+    def __call__(self, x, level, mask, t, train):
+        cfg = self.cfg
+        shortcut = x
+        if x.shape[-1] != self.features:
+            w = self.param("w_shortcut", _conv_init,
+                           (1, x.shape[-1], self.features))
+            shortcut = jnp.einsum(
+                "btvc,cd->btvd", x.astype(cfg.compute_dtype),
+                w[0].astype(cfg.compute_dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(cfg.compute_dtype)
+        y = _bn_flat(cfg, "bn_a", self, x, mask, train)
+        y = SMConvTile(cfg, self.features, name="conv_a")(y, level, t)
+        y = _bn_flat(cfg, "bn_b", self, y, mask, train)
+        y = SMConvTile(cfg, self.features, name="conv_b")(y, level, t)
+        return shortcut + y
+
+
+class UResNetSparseTiled(nn.Module):
+    cfg: URESNetConfig
+
+    @nn.compact
+    def __call__(self, coords, values, n_voxels, train: bool = False):
+        cfg = self.cfg
+        dim = cfg.data_dim
+        dt = cfg.compute_dtype
+        graph = build_tile_graph(coords, values, n_voxels, cfg)
+        levels, links = graph.levels, graph.links
+        nlev = len(levels)
+        planes = cfg.n_planes
+        tsz = [tile_size_at(cfg, l) for l in range(nlev)]
+        B = coords.shape[0]
+
+        def mask_of(l):
+            lev = levels[l]
+            rows = jax.lax.broadcasted_iota(jnp.int32, lev.keys.shape, 1)
+            tile_ok = rows < lev.num[:, None]
+            return lev.occ & tile_ok[..., None]
+
+        masks = [mask_of(l) for l in range(nlev)]
+
+        x = SMConvTile(cfg, planes[0], name="stem")(
+            graph.feats0.astype(dt), levels[0], tsz[0])
+        skips = []
+        for l in range(nlev):
+            for r in range(cfg.reps):
+                x = SparseResBlockTile(cfg, planes[l],
+                                       name=f"enc{l}_block{r}")(
+                    x, levels[l], masks[l], tsz[l], train)
+            if l < nlev - 1:
+                skips.append(x)
+                x = _bn_flat(cfg, f"down{l}_bnact", self, x, masks[l], train)
+                w = self.param(f"down{l}_w", _conv_init,
+                               (2 ** dim, x.shape[-1], planes[l + 1]))
+                x = downsample_conv_tiled(
+                    x.astype(dt), links[l].parent, links[l].octant,
+                    tsz[l], tsz[l + 1], levels[l + 1].keys.shape[1], dim, w)
+                x = x * levels[l + 1].occ[..., None].astype(x.dtype)
+
+        for l in reversed(range(nlev - 1)):
+            x = _bn_flat(cfg, f"up{l}_bnact", self, x, masks[l + 1], train)
+            w = self.param(f"up{l}_w", _conv_init,
+                           (2 ** dim, x.shape[-1], planes[l]))
+            x = upsample_conv_tiled(
+                x.astype(dt), links[l].parent, links[l].octant,
+                levels[l].occ, tsz[l], tsz[l + 1],
+                levels[l + 1].keys.shape[1], dim, w)
+            x = jnp.concatenate([x, skips[l].astype(x.dtype)], axis=-1)
+            for r in range(cfg.reps):
+                x = SparseResBlockTile(cfg, planes[l],
+                                       name=f"dec{l}_block{r}")(
+                    x, levels[l], masks[l], tsz[l], train)
+
+        x = _bn_flat(cfg, "head_bnact", self, x, masks[0], train)
+        w_head = self.param("head_w", nn.initializers.lecun_normal(),
+                            (x.shape[-1], cfg.num_class))
+        b_head = self.param("head_b", nn.initializers.zeros,
+                            (cfg.num_class,))
+        logits_tiles = jnp.einsum("btvc,cd->btvd", x.astype(jnp.float32),
+                                  w_head) + b_head    # (B, T0, cells, nc)
+
+        # back to blob row order (reference OutputLayer inverse permutation):
+        # one flat gather per forward at (tile, cell)
+        T0, cells0 = logits_tiles.shape[1:3]
+        flat = logits_tiles.reshape(B, T0 * cells0, cfg.num_class)
+        vox_flat = jnp.where(graph.input_valid,
+                             graph.vox_tile * cells0 + graph.vox_cell, 0)
+        logits = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(flat, vox_flat)
+        return jnp.where(graph.input_valid[..., None], logits, 0.0)

@@ -60,7 +60,17 @@ class TrainVal:
         if self.mesh is None:
             # 1-D data mesh over all (or --gpus selected) devices; a
             # single-device mesh compiles to a plain single-chip program.
-            self.mesh = make_mesh(device_ids=cfg.gpus)
+            # Without an explicit device selection, use the largest device
+            # count that divides the batch (mirrors the reference's implicit
+            # "batch splits across the GPUs you gave it", SURVEY.md §2.9).
+            if cfg.gpus:
+                self.mesh = make_mesh(device_ids=cfg.gpus)
+            else:
+                import jax as _jax
+                n = len(_jax.devices())
+                while cfg.batch_size % n:
+                    n -= 1
+                self.mesh = make_mesh(devices=_jax.devices()[:n])
         n_dev = self.mesh.devices.size
         if cfg.batch_size % n_dev:
             raise ValueError(
