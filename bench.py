@@ -41,25 +41,23 @@ def timed_loop(step_fn, args_template, n1=1, n2=5):
     import jax
     import jax.numpy as jnp
 
-    def make(n):
-        @jax.jit
-        def f(vr, c, v, nv, eps):
-            def body(i, carry):
-                v2, acc = carry
-                out = step_fn(vr, c, v2, nv)
-                s = (out.astype(jnp.float32).sum() * eps)
-                return (v2 + s, acc + s)
-            _, acc = jax.lax.fori_loop(0, n, body, (v, jnp.float32(0.0)))
-            return acc
-        return f
+    @jax.jit
+    def f(vr, c, v, nv, eps, n):
+        # dynamic trip count: ONE compilation serves both calibration points
+        def body(i, carry):
+            v2, acc = carry
+            out = step_fn(vr, c, v2, nv)
+            s = (out.astype(jnp.float32).sum() * eps)
+            return (v2 + s, acc + s)
+        _, acc = jax.lax.fori_loop(0, n, body, (v, jnp.float32(0.0)))
+        return acc
 
     eps = np.float32(1e-30)
     times = {}
     for n in (n1, n2):
-        f = make(n)
-        np.asarray(f(*args_template, eps))  # compile + warm
+        np.asarray(f(*args_template, eps, n))  # compile (first) + warm
         t0 = time.perf_counter()
-        np.asarray(f(*args_template, eps))
+        np.asarray(f(*args_template, eps, n))
         times[n] = time.perf_counter() - t0
     return max(times[n2] - times[n1], 1e-9) / (n2 - n1)
 

@@ -132,6 +132,37 @@ class IOBase:
     def collate(self, events, indices) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         B, V, dim = len(events), cfg.max_voxels, cfg.data_dim
+        from uresnet_pytorch_tpu.utils import native
+        if native.available():
+            return self._collate_native(events, indices, B, V, dim)
+        return self._collate_python(events, indices, B, V, dim)
+
+    def _collate_native(self, events, indices, B, V, dim) -> Dict[str, np.ndarray]:
+        """Single-pass native collation (csrc/uresnet_native.cpp) — the
+        host-side analog of the reference's C++ data backend."""
+        from uresnet_pytorch_tpu.utils import native
+        has_label = any("label" in ev for ev in events)
+        has_weight = any("weight" in ev for ev in events)
+        coords = np.concatenate([ev["data"][0][:, :dim] for ev in events])
+        values = np.concatenate([ev["data"][1] for ev in events])
+        splits = np.zeros(B + 1, np.int64)
+        np.cumsum([len(ev["data"][0]) for ev in events], out=splits[1:])
+        labels = (np.concatenate([ev["label"][1] for ev in events])
+                  if has_label else None)
+        weights = (np.concatenate([ev["weight"][1] for ev in events])
+                   if has_weight else None)
+        oc, ov, ol, ow, on, truncated = native.collate(
+            coords, values, labels, weights, splits, B, V, dim)
+        self.truncated += truncated
+        blob = {"coords": oc, "values": ov, "n_voxels": on,
+                "index": np.asarray(indices, np.int64)}
+        if ol is not None:
+            blob["label"] = ol
+        if ow is not None:
+            blob["weight"] = ow
+        return blob
+
+    def _collate_python(self, events, indices, B, V, dim) -> Dict[str, np.ndarray]:
         blob: Dict[str, np.ndarray] = {
             "coords": np.zeros((B, V, dim), np.int32),
             "values": np.zeros((B, V), np.float32),

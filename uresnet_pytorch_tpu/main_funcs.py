@@ -50,8 +50,12 @@ def train(cfg: URESNetConfig, io=None) -> TrainVal:
             tio = watch.stop("io")
             watch.start("forward")
             metrics = tv.train_step(blob)
-            loss = float(metrics["loss"])
-            acc = float(metrics["accuracy"])
+            report = cfg.report_step > 0 and (it + 1) % cfg.report_step == 0
+            if report:
+                # fetch scalars only on report steps; off-step iterations
+                # stay fully asynchronous on device
+                loss = float(metrics["loss"])
+                acc = float(metrics["accuracy"])
             tfwd = watch.stop("forward")
             tsave = 0.0
             if cfg.checkpoint_step > 0 and (it + 1) % cfg.checkpoint_step == 0:
@@ -59,7 +63,7 @@ def train(cfg: URESNetConfig, io=None) -> TrainVal:
                 tv.save_state(it + 1)
                 tsave = watch.stop("save")
             titer = watch.stop("iter")
-            if cfg.report_step > 0 and (it + 1) % cfg.report_step == 0:
+            if report:
                 csv.record(
                     ["iter", "epoch", "loss", "accuracy", "titer", "tio",
                      "tforward", "tbackward", "tsave", "lr"],
