@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""The five BASELINE.json benchmark configs (BASELINE.md):
+
+  1. dense 3D U-ResNet forward, single 64^3 event, batch=1 (CPU-runnable)
+  2. dense U-ResNet training step, class-weighted CE, 128^3
+  3. sparse submanifold U-ResNet inference, 512^3, ~1e5 active voxels
+  4. sparse U-ResNet end-to-end training step (rulebook rebuild per batch —
+     the tile graph is built inside the jitted step, so it is included)
+  5. data-parallel multi-chip sparse training (uses every visible device;
+     on this 1-chip environment it measures the DP code path single-chip)
+
+Writes benchmarks/results.json and prints one JSON line per config.
+Usage: python benchmarks/run_all.py [--configs 1,3] [--smoke]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def _event_blob(cfg, batch, mean_voxels, seed=0, with_weight=False):
+    from uresnet_pytorch_tpu.iotools.synthetic import generate_event
+    blob = {
+        "coords": np.zeros((batch, cfg.max_voxels, cfg.data_dim), np.int32),
+        "values": np.zeros((batch, cfg.max_voxels), np.float32),
+        "label": np.zeros((batch, cfg.max_voxels), np.int32),
+        "n_voxels": np.zeros((batch,), np.int32),
+        "index": np.arange(batch, dtype=np.int64),
+    }
+    for b in range(batch):
+        c, v, l = generate_event(seed, b, cfg.spatial_size, cfg.data_dim,
+                                 mean_voxels)
+        n = min(len(c), cfg.max_voxels)
+        blob["coords"][b, :n], blob["values"][b, :n] = c[:n], v[:n]
+        blob["label"][b, :n], blob["n_voxels"][b] = l[:n], n
+    if with_weight:
+        blob["weight"] = np.where(blob["label"] > 0, 1.0, 0.5).astype(np.float32)
+    return blob
+
+
+def _forward_model(cfg, blob):
+    import jax
+    import jax.numpy as jnp
+    from uresnet_pytorch_tpu.models import construct
+    from uresnet_pytorch_tpu.utils.benchmark import timed_step
+    model = construct(cfg.model_name)(cfg)
+    args = (blob["coords"], blob["values"], blob["n_voxels"])
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), *args, train=False)
+
+    def step(chain, vr, c, v, nv):
+        out = model.apply(vr, c, v + chain, nv, train=False)
+        return out.astype(jnp.float32).sum() * jnp.float32(1e-30)
+
+    sec = timed_step(step, jax.device_put((variables,) + tuple(
+        map(jnp.asarray, args))))
+    return sec
+
+
+def _train_model(cfg, blob):
+    import jax
+    from uresnet_pytorch_tpu.trainval import TrainVal, _batch_from_blob
+    from uresnet_pytorch_tpu.utils.benchmark import timed_train
+    tv = TrainVal(cfg)
+    tv.initialize()
+    batch = _batch_from_blob(blob, use_weight="weight" in blob)
+    batch = jax.device_put(batch)
+
+    return timed_train(tv.train_step_fn, tv.state, batch)
+
+
+def config_1(smoke):
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    cfg = URESNetConfig(model_name="uresnet_dense", spatial_size=64,
+                        uresnet_filters=16, uresnet_num_strides=5,
+                        max_voxels=4096, batch_size=1,
+                        compute_dtype="bfloat16")
+    blob = _event_blob(cfg, 1, 500 if smoke else 2000)
+    sec = _forward_model(cfg, blob)
+    return {"metric": "dense_forward_64c_events_per_sec", "value": 1.0 / sec}
+
+
+def config_2(smoke):
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    cfg = URESNetConfig(model_name="uresnet_dense", spatial_size=128,
+                        uresnet_filters=16, uresnet_num_strides=5,
+                        max_voxels=16384, batch_size=2,
+                        weight_key="weight", compute_dtype="bfloat16")
+    blob = _event_blob(cfg, 2, 2000 if smoke else 8000, with_weight=True)
+    sec = _train_model(cfg, blob)
+    return {"metric": "dense_train_128c_events_per_sec",
+            "value": cfg.batch_size / sec}
+
+
+def _sparse_cfg(smoke, batch):
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    n_vox = 2000 if smoke else 100_000
+    return URESNetConfig(
+        model_name="uresnet_sparse", spatial_size=64 if smoke else 512,
+        uresnet_filters=16, uresnet_num_strides=5,
+        max_voxels=max(256, 1 << int(np.ceil(np.log2(n_vox * 1.3)))),
+        capacity_factor=0.5, min_level_capacity=2048 if not smoke else 64,
+        batch_size=batch, compute_dtype="bfloat16"), n_vox
+
+
+def config_3(smoke):
+    cfg, n_vox = _sparse_cfg(smoke, 4)
+    blob = _event_blob(cfg, 4, int(n_vox * 1.5))
+    sec = _forward_model(cfg, blob)
+    return {"metric": "sparse_inference_512c_events_per_sec",
+            "value": cfg.batch_size / sec}
+
+
+def config_4(smoke):
+    cfg, n_vox = _sparse_cfg(smoke, 4)
+    blob = _event_blob(cfg, 4, int(n_vox * 1.5))
+    sec = _train_model(cfg, blob)
+    return {"metric": "sparse_train_512c_events_per_sec",
+            "value": cfg.batch_size / sec}
+
+
+def config_5(smoke):
+    import jax
+    cfg, n_vox = _sparse_cfg(smoke, max(4, len(jax.devices())))
+    blob = _event_blob(cfg, cfg.batch_size, int(n_vox * 1.5))
+    sec = _train_model(cfg, blob)
+    return {"metric": "dp_sparse_train_events_per_sec",
+            "value": cfg.batch_size / sec,
+            "devices": len(jax.devices())}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+    runners = {1: config_1, 2: config_2, 3: config_3, 4: config_4,
+               5: config_5}
+    results = []
+    for c in (int(x) for x in args.configs.split(",")):
+        t0 = time.time()
+        r = runners[c](args.smoke)
+        r.update({"config": c, "unit": "events/s",
+                  "wall_sec": round(time.time() - t0, 1)})
+        r["value"] = round(float(r["value"]), 3)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,38 @@ def test_fold_unfold_roundtrip():
                                   np.asarray(x[0, 0, 1, 0, 0]))  # x-bit
 
 
+def _specs_from(nbr, ok, T):
+    """(B, 6, T) raw idx/ok -> tuple of 6 batched GatherSpecs."""
+    from uresnet_pytorch_tpu.ops.tile_graph import make_gather_spec
+    return tuple(
+        jax.vmap(lambda i, o: make_gather_spec(i, o, T, 8))(
+            jnp.asarray(nbr[:, f]), jnp.asarray(ok[:, f]))
+        for f in range(nbr.shape[1]))
+
+
+def test_windowed_gather_exact():
+    """The block one-hot + correction-list permutation must be EXACT for
+    arbitrary index patterns, including far out-of-window jumps and
+    invalid rows."""
+    from uresnet_pytorch_tpu.ops.tile_graph import make_gather_spec
+    from uresnet_pytorch_tpu.ops.tile_conv import windowed_gather
+    rng = np.random.default_rng(5)
+    B, S, N, F = 2, 192, 128, 7
+    src = rng.normal(size=(B, S, F)).astype(np.float32)
+    # mostly-local indices with some far jumps and some invalid rows
+    base = np.clip(np.arange(N) + rng.integers(-5, 6, N), 0, S - 1)
+    far = rng.random((B, N)) < 0.1
+    idx = np.where(far, rng.integers(0, S, (B, N)), base[None]).astype(np.int32)
+    ok = rng.random((B, N)) < 0.9
+    spec = jax.vmap(lambda i, o: make_gather_spec(i, o, S, 16))(
+        jnp.asarray(idx), jnp.asarray(ok))
+    out = np.asarray(windowed_gather(jnp.asarray(src), spec))
+    expect = np.where(ok[..., None],
+                      np.take_along_axis(src, idx[..., None], axis=1), 0.0)
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+    assert int(np.asarray(spec.overflow).sum()) == 0
+
+
 def test_single_tile_conv_matches_dense():
     """One fully-active tile, no neighbors: tiled submanifold conv == dense
     SAME conv with zero boundary."""
@@ -58,7 +90,7 @@ def test_single_tile_conv_matches_dense():
     ok = np.zeros((1, 6, 1), bool)  # no neighbors
     w = rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.2
     out = submanifold_conv_tiled(jnp.asarray(x), jnp.asarray(occ),
-                                 jnp.asarray(nbr), jnp.asarray(ok), t, 3,
+                                 _specs_from(nbr, ok, 1), t, 3,
                                  jnp.asarray(w))
     dense = jax.lax.conv_general_dilated(
         jnp.asarray(x).reshape(1, t, t, t, Cin),
@@ -83,8 +115,8 @@ def test_halo_extend_neighbors():
     ok[0, 1, 0] = True
     nbr[0, 0, 1] = 0   # tile1's -x neighbor is tile0
     ok[0, 0, 1] = True
-    ext = np.asarray(halo_extend(jnp.asarray(x), jnp.asarray(nbr),
-                                 jnp.asarray(ok), t, 3))
+    ext = np.asarray(halo_extend(jnp.asarray(x), _specs_from(nbr, ok, 2),
+                                 t, 3))
     ext = ext.reshape(1, 2, t + 2, t + 2, t + 2, 1)
     # tile0 high-x halo = tile1's low-x face (interior cells only)
     assert (ext[0, 0, t + 1, 1:t + 1, 1:t + 1] == 2.0).all()

@@ -47,8 +47,8 @@ class URESNetConfig:
     # ---- sparse engine selection (TPU-native; see docs/ARCHITECTURE.md) ----
     sparse_engine: str = "tile"         # {tile, gather}: tiled-dense MXU engine
     #                                     vs row-gather oracle/fallback
-    tile_size: int = 8                  # tile edge t (power of two)
-    tile_occupancy: float = 8.0         # capacity divisor: tiles ~= voxels/this
+    tile_size: int = 4                  # tile edge t (power of two)
+    tile_occupancy: float = 3.0         # capacity divisor: tiles ~= voxels/this
     min_tiles: int = 64                 # floor on per-level tile capacity
 
     # ---- io (reference: --io-type/-io etc.) ----

@@ -43,8 +43,8 @@ class SMConvTile(nn.Module):
         K = 3 ** cfg.data_dim
         w = self.param("w", _conv_init, (K, x.shape[-1], self.features))
         return submanifold_conv_tiled(
-            x.astype(cfg.compute_dtype), level.occ, level.face_nbr,
-            level.face_ok, t, cfg.data_dim, w)
+            x.astype(cfg.compute_dtype), level.occ, level.faces, t,
+            cfg.data_dim, w)
 
 
 class SparseResBlockTile(nn.Module):
@@ -107,8 +107,7 @@ class UResNetSparseTiled(nn.Module):
                 w = self.param(f"down{l}_w", _conv_init,
                                (2 ** dim, x.shape[-1], planes[l + 1]))
                 x = downsample_conv_tiled(
-                    x.astype(dt), links[l].parent, links[l].octant,
-                    tsz[l], tsz[l + 1], levels[l + 1].keys.shape[1], dim, w)
+                    x.astype(dt), links[l], tsz[l], tsz[l + 1], dim, w)
                 x = x * levels[l + 1].occ[..., None].astype(x.dtype)
 
         for l in reversed(range(nlev - 1)):
@@ -116,9 +115,8 @@ class UResNetSparseTiled(nn.Module):
             w = self.param(f"up{l}_w", _conv_init,
                            (2 ** dim, x.shape[-1], planes[l]))
             x = upsample_conv_tiled(
-                x.astype(dt), links[l].parent, links[l].octant,
-                levels[l].occ, tsz[l], tsz[l + 1],
-                levels[l + 1].keys.shape[1], dim, w)
+                x.astype(dt), links[l], levels[l].occ, tsz[l], tsz[l + 1],
+                dim, w)
             x = jnp.concatenate([x, skips[l].astype(x.dtype)], axis=-1)
             for r in range(cfg.reps):
                 x = SparseResBlockTile(cfg, planes[l],

@@ -1,25 +1,28 @@
-"""Tiled-dense sparse convolutions: halo exchange + space-to-depth GEMMs.
+"""Tiled-dense sparse convolutions: windowed-permutation halo + folded convs.
 
-Compute layer of the tile engine (see ops/tile_graph.py for the rationale).
-Replaces SCN's CUDA gather-GEMM-scatter (SURVEY.md §2.13) with a form the
-MXU actually likes:
+Compute layer of the tile engine (rationale in ops/tile_graph.py). Replaces
+SCN's CUDA gather-GEMM-scatter (SURVEY.md §2.13) with MXU-native forms:
 
-  * 3-pass face halo: tiles exchange ±x faces, then ±y faces OF THE
-    x-EXTENDED array, then ±z of that — so edge/corner data propagates
-    through two hops and only 2*dim face gathers are needed per conv
-    (kB-contiguous rows, HBM-bandwidth bound; never per-voxel gathers).
-  * space-to-depth fold (2x per axis): the 3^d small-channel submanifold
-    conv becomes 2^d GEMM taps with (2^d*Cin)-deep contractions and
-    (2^d*Cout)-wide outputs — 128-lane MXU utilization at Cin=16.
-    Derivation: output fine cell F = 2w+1+o needs input F+δ-1 = 2(w+d)+q
-    with d=(o+δ)>>1, q=(o+δ)&1, so folded tap d's weight block (q->o) is
-    the original offset weight W[o+δ... ] — built by fold_weights().
-  * stride-2 down/up convs are pure GEMMs on the folded representation
-    (kernel 2 stride 2 IS the fold), with collision-free corner scatters
-    between tile grids.
+  * `windowed_gather` — ALL row movement (halo faces, tile up/down links)
+    runs as block-banded one-hot matmuls against dynamically positioned
+    source windows (a permutation on the MXU; XLA row-gathers measured
+    ~0.4 µs/row are avoided), plus an exact small correction list for
+    out-of-window pairs.
+  * 3-pass face halo (x -> y -> z): each pass exchanges ±faces OF THE
+    ALREADY-EXTENDED array, so edges/corners propagate through relays
+    (tile_graph.close_tile_keys guarantees the relay path).
+  * space-to-depth fold (2x/axis): the 3^d small-channel submanifold conv
+    becomes a 2^d-tap dense conv with (2^d*C)-wide channels, executed by ONE
+    `lax.conv_general_dilated` per layer — full 128-lane MXU utilization and
+    on-chip accumulation. Derivation: output fine cell F=2w+1+o reads input
+    F+δ-1 = 2(w+d)+q with d=(o+δ)>>1, q=(o+δ)&1 (fold_weights builds the
+    tap kernel).
+  * stride-2 down/up convs are single GEMMs on the folded representation
+    (kernel-2/stride-2 IS the fold), with corner assembly/extraction via
+    windowed gathers between tile grids.
 
-All ops preserve the submanifold invariant by masking outputs with the
-active-cell occupancy: inactive cells hold exact zeros between layers.
+All ops preserve the submanifold invariant: outputs are masked by cell
+occupancy so inactive cells hold exact zeros between layers.
 """
 
 from __future__ import annotations
@@ -30,19 +33,52 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from uresnet_pytorch_tpu.ops.tile_graph import GatherSpec
 
-def _take_rows(arr: jnp.ndarray, idx: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, ...) rows gathered at (B, R); masked rows -> 0."""
-    g = jax.vmap(lambda a, i: jnp.take(a, i, axis=0))(arr, jnp.where(ok, idx, 0))
-    shape = (ok.shape[0], ok.shape[1]) + (1,) * (arr.ndim - 2)
-    return g * ok.reshape(shape).astype(g.dtype)
 
+# ---------------------------------------------------------------------------
+# windowed permutation
+# ---------------------------------------------------------------------------
+
+def windowed_gather(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
+    """out[b, i] = src[b, spec.idx[b, i]] (0 where invalid), exactly.
+
+    src (B, S, F) -> (B, N, F). In-window pairs go through block one-hot
+    matmuls; the rest through the exact correction list."""
+    B, S, F = src.shape
+    N = spec.idx.shape[1]
+    nb = spec.starts.shape[1]
+    Bk = N // nb
+    win = 3 * Bk
+    dt = src.dtype
+
+    padded = jnp.pad(src, ((0, 0), (0, win), (0, 0)))
+    windows = jax.vmap(lambda p, st: jax.vmap(
+        lambda s: jax.lax.dynamic_slice(p, (s, 0), (win, F)))(st)
+    )(padded, spec.starts)                                  # (B, nb, win, F)
+    local = spec.idx - jnp.repeat(spec.starts, Bk, axis=1)  # (B, N)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, nb, Bk, win), 3)
+    oh = (local.reshape(B, nb, Bk)[..., None] == pos) \
+        & spec.ok.reshape(B, nb, Bk)[..., None]
+    out = jnp.einsum("bnkw,bnwf->bnkf", oh.astype(dt), windows,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, N, F).astype(dt)
+
+    # exact out-of-window corrections (few hundred rows at most)
+    cv = jax.vmap(lambda s, i: jnp.take(s, i, axis=0))(src, spec.corr_src)
+    cv = cv * spec.corr_ok[..., None].astype(dt)
+    dst = jnp.where(spec.corr_ok, spec.corr_dst, N)
+    out = jax.vmap(lambda o, d, v: o.at[d].set(v, mode="drop"))(out, dst, cv)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth fold
+# ---------------------------------------------------------------------------
 
 def fold2(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, *spatial(even), C) -> (B, T, *spatial/2, 2^dim * C).
-
-    Block-channel order: spatial block bits x-major, then original channel.
-    """
+    """(B, T, *spatial(even), C) -> (B, T, *spatial/2, 2^dim*C); block bits
+    x-major over channels."""
     B, T = x.shape[:2]
     sp = x.shape[2:-1]
     C = x.shape[-1]
@@ -59,7 +95,7 @@ def fold2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def unfold2(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of fold2: (B, T, *spatial, 2^dim * C) -> (B, T, *2*spatial, C)."""
+    """Inverse of fold2."""
     B, T = x.shape[:2]
     sp = x.shape[2:-1]
     dim = len(sp)
@@ -74,8 +110,8 @@ def unfold2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def fold_weights(w: jnp.ndarray, dim: int) -> jnp.ndarray:
-    """(3^dim, Cin, Cout) offset stack -> (2^dim, 2^dim*Cin, 2^dim*Cout)
-    folded taps (see module docstring)."""
+    """(3^dim, Cin, Cout) offset stack -> folded tap kernel
+    (*(2,)*dim, 2^dim*Cin, 2^dim*Cout) in DHWIO layout for lax.conv."""
     K, Cin, Cout = w.shape
     assert K == 3 ** dim
     wf = jnp.zeros((2 ** dim, 2 ** dim * Cin, 2 ** dim * Cout), w.dtype)
@@ -86,7 +122,7 @@ def fold_weights(w: jnp.ndarray, dim: int) -> jnp.ndarray:
             for _ in range(dim):
                 dg.append(tmp % 3)
                 tmp //= 3
-            dg = dg[::-1]  # x-major digits of the offset
+            dg = dg[::-1]
             didx = qidx = 0
             for d in range(dim):
                 s = obits[d] + dg[d]
@@ -94,61 +130,90 @@ def fold_weights(w: jnp.ndarray, dim: int) -> jnp.ndarray:
                 qidx = (qidx << 1) | (s & 1)
             wf = wf.at[didx, qidx * Cin:(qidx + 1) * Cin,
                        o * Cout:(o + 1) * Cout].set(w[k])
-    return wf
+    return wf.reshape((2,) * dim + (2 ** dim * Cin, 2 ** dim * Cout))
 
 
-def halo_extend(x: jnp.ndarray, face_nbr: jnp.ndarray, face_ok: jnp.ndarray,
-                t: int, dim: int) -> jnp.ndarray:
+# ---------------------------------------------------------------------------
+# halo exchange
+# ---------------------------------------------------------------------------
+
+def halo_extend(x: jnp.ndarray, faces: Tuple[GatherSpec, ...], t: int,
+                dim: int) -> jnp.ndarray:
     """(B, T, t^dim, C) -> (B, T, (t+2)^dim, C) spatial, 3-pass face halo.
 
-    face order in face_nbr: (-x, +x, -y, +y, -z, +z). Our +axis halo is the
-    +axis neighbor's low face; missing neighbors contribute zeros (inactive
-    region — submanifold semantics).
-    """
+    face order (-x,+x,-y,+y,-z,+z): our +axis halo is the +axis neighbor's
+    low face of the CURRENT (progressively extended) array."""
     B, T = x.shape[:2]
     C = x.shape[-1]
     xs = x.reshape((B, T) + (t,) * dim + (C,))
     for ax in range(dim):
-        sp_ax = 2 + ax  # spatial axis in the array
+        sp_ax = 2 + ax
         lo_face = jax.lax.index_in_dim(xs, 0, sp_ax, keepdims=True)
         hi_face = jax.lax.index_in_dim(xs, xs.shape[sp_ax] - 1, sp_ax,
                                        keepdims=True)
-        halo_lo = _take_rows(hi_face, face_nbr[:, 2 * ax],
-                             face_ok[:, 2 * ax])      # from -axis neighbor
-        halo_hi = _take_rows(lo_face, face_nbr[:, 2 * ax + 1],
-                             face_ok[:, 2 * ax + 1])  # from +axis neighbor
+        fshape = lo_face.shape
+        lo_flat = lo_face.reshape(B, T, -1)
+        hi_flat = hi_face.reshape(B, T, -1)
+        halo_lo = windowed_gather(hi_flat, faces[2 * ax]).reshape(fshape)
+        halo_hi = windowed_gather(lo_flat, faces[2 * ax + 1]).reshape(fshape)
         xs = jnp.concatenate([halo_lo, xs, halo_hi], axis=sp_ax)
     return xs.reshape((B, T) + ((t + 2) ** dim,) + (C,))
 
 
-def submanifold_conv_tiled(x, occ, face_nbr, face_ok, t: int, dim: int,
-                           w) -> jnp.ndarray:
+# ---------------------------------------------------------------------------
+# convolutions
+# ---------------------------------------------------------------------------
+
+_CONV_DN = {3: ("NDHWC", "DHWIO", "NDHWC"), 2: ("NHWC", "HWIO", "NHWC")}
+
+
+def submanifold_conv_tiled(x, occ, faces, t: int, dim: int, w) -> jnp.ndarray:
     """x (B,T,t^dim,Cin), occ (B,T,t^dim) -> (B,T,t^dim,Cout)."""
     dt = x.dtype
     B, T = x.shape[:2]
+    Cin = x.shape[-1]
     Cout = w.shape[-1]
-    ext = halo_extend(x, face_nbr, face_ok, t, dim)
-    ext = ext.reshape((B, T) + (t + 2,) * dim + (x.shape[-1],))
-    extf = fold2(ext)                        # (B,T,(t+2)/2 per axis, 2^d Cin)
-    wf = fold_weights(w, dim).astype(dt)
+    ext = halo_extend(x, faces, t, dim)
+    ext = ext.reshape((B, T) + (t + 2,) * dim + (Cin,))
+    extf = fold2(ext)                                 # (B,T,(t+2)/2.., 2^d Cin)
     th = t // 2
-    out = None
-    for d in range(2 ** dim):
-        dbits = [(d >> (dim - 1 - a)) & 1 for a in range(dim)]
-        idx = (slice(None), slice(None)) + tuple(
-            slice(b, b + th) for b in dbits) + (slice(None),)
-        tap = extf[idx]
-        contrib = jnp.einsum("...c,cd->...d", tap.astype(dt), wf[d],
-                             preferred_element_type=jnp.float32)
-        out = contrib if out is None else out + contrib
-    out = unfold2(out.astype(dt))            # (B, T, t per axis, Cout)
-    out = out.reshape(B, T, t ** dim, Cout)
+    kernel = fold_weights(w, dim).astype(dt)
+    xin = extf.reshape((B * T,) + extf.shape[2:])
+    out = jax.lax.conv_general_dilated(
+        xin, kernel, window_strides=(1,) * dim, padding="VALID",
+        dimension_numbers=_CONV_DN[dim],
+        preferred_element_type=jnp.float32)
+    out = out.astype(dt).reshape((B, T) + (th,) * dim + (2 ** dim * Cout,))
+    out = unfold2(out).reshape(B, T, t ** dim, Cout)
     return out * occ[..., None].astype(dt)
 
 
+def assemble_children(blocks: jnp.ndarray, children: Tuple[GatherSpec, ...],
+                      t_c: int, dim: int) -> jnp.ndarray:
+    """Per-fine-tile half-blocks (B, Tf, (t_c/2)^dim, C) -> coarse tiles
+    (B, Tc, t_c^dim, C): each corner pulls its child's block (gather-form —
+    no scatters anywhere in this engine)."""
+    if len(children) == 1:
+        # tile grid unchanged (shrinking tile edge): blocks ARE the tiles
+        return blocks
+    B, Tf, cells_h, C = blocks.shape
+    th = t_c // 2
+    flat = blocks.reshape(B, Tf, cells_h * C)
+    Tc = children[0].idx.shape[1]
+    out = jnp.zeros((B, Tc) + (t_c,) * dim + (C,), blocks.dtype)
+    for o, spec in enumerate(children):
+        obits = [(o >> (dim - 1 - d)) & 1 for d in range(dim)]
+        g = windowed_gather(flat, spec).reshape(
+            (B, Tc) + (th,) * dim + (C,))
+        idx = (slice(None), slice(None)) + tuple(
+            slice(b * th, (b + 1) * th) for b in obits) + (slice(None),)
+        out = out.at[idx].set(g)
+    return out.reshape(B, Tc, t_c ** dim, C)
+
+
 def _corner_view(xc: jnp.ndarray, tc: int, dim: int) -> jnp.ndarray:
-    """(B, Tc, tc^dim, C) -> (B, Tc * 2^dim, (tc/2)^dim, C): contiguous
-    corner half-regions, corner bits x-major (matches DownLink.octant)."""
+    """(B, Tc, tc^dim, C) -> (B, Tc*2^dim, (tc/2)^dim * C): contiguous corner
+    half-regions, corner bits x-major (matches the parent spec rows)."""
     B, Tc = xc.shape[:2]
     C = xc.shape[-1]
     th = tc // 2
@@ -160,18 +225,14 @@ def _corner_view(xc: jnp.ndarray, tc: int, dim: int) -> jnp.ndarray:
     perm = [0, 1] + [2 + 2 * d for d in range(dim)] \
         + [3 + 2 * d for d in range(dim)] + [2 + 2 * dim]
     x = x.transpose(perm)
-    return x.reshape(B, Tc * 2 ** dim, th ** dim, C)
+    return x.reshape(B, Tc * 2 ** dim, th ** dim * C)
 
 
-def downsample_conv_tiled(x, parent, octant, t_f: int, t_c: int, Tc: int,
-                          dim: int, w) -> jnp.ndarray:
-    """Stride-2 kernel-2 conv between tile grids.
+def downsample_conv_tiled(x, link, t_f: int, t_c: int, dim: int,
+                          w) -> jnp.ndarray:
+    """Stride-2 kernel-2 conv between tile grids (gather-formulated).
 
-    x (B,Tf,t_f^dim,Cin), w (2^dim,Cin,Cout) -> (B,Tc,t_c^dim,Cout).
-    The fold IS the stride-2 receptive field; blocks then land in coarse
-    corner regions (t_c == t_f) or are the coarse tiles themselves
-    (t_c == t_f // 2, grid unchanged)."""
-    from uresnet_pytorch_tpu.ops.tile_graph import _scatter_blocks
+    x (B,Tf,t_f^dim,Cin), w (2^dim,Cin,Cout) -> (B,Tc,t_c^dim,Cout)."""
     dt = x.dtype
     B, Tf = x.shape[:2]
     Cin, Cout = w.shape[1], w.shape[2]
@@ -180,38 +241,28 @@ def downsample_conv_tiled(x, parent, octant, t_f: int, t_c: int, Tc: int,
     wd = w.reshape(2 ** dim * Cin, Cout).astype(dt)
     blocks = jnp.einsum("btvc,cd->btvd", xf.astype(dt), wd,
                         preferred_element_type=jnp.float32).astype(dt)
-    if t_c == t_f // 2:
-        return blocks  # tile grid unchanged; blocks ARE the coarse tiles
-    assert t_c == t_f
-    ok = parent < Tc
-    return jax.vmap(
-        lambda b, p, o, k: _scatter_blocks(b, p, o, k, Tc, t_c, dim)
-    )(blocks, parent, octant, ok)
+    return assemble_children(blocks, link.children, t_c, dim)
 
 
-def upsample_conv_tiled(xc, parent, octant, occ_f, t_f: int, t_c: int,
-                        Tc: int, dim: int, w) -> jnp.ndarray:
-    """Stride-2 kernel-2 transposed conv (decoder; reuses the down link
-    transposed so the encoder's exact sites are restored).
+def upsample_conv_tiled(xc, link, occ_f, t_f: int, t_c: int, dim: int,
+                        w) -> jnp.ndarray:
+    """Stride-2 kernel-2 transposed conv (decoder): reuses the down link
+    transposed so the encoder's exact sites come back.
 
-    xc (B,Tc,t_c^dim,Cin) -> (B,Tf,t_f^dim,Cout), masked by fine occupancy.
-    """
+    xc (B,Tc,t_c^dim,Cin) -> (B,Tf,t_f^dim,Cout), masked by fine occupancy."""
     dt = xc.dtype
-    B, Tc_ = xc.shape[:2]
     Cin, Cout = w.shape[1], w.shape[2]
-    if t_c == t_f // 2:
-        blocks = xc  # (B, Tf, (t_f/2)^dim, Cin), same tile rows
+    if len(link.children) == 1:
+        blocks = xc.reshape(xc.shape[0], xc.shape[1], -1)  # identity link
     else:
-        assert t_c == t_f
-        corners = _corner_view(xc, t_c, dim)          # (B, Tc*2^d, th^d, Cin)
-        ok = parent < Tc
-        idx = jnp.where(ok, parent * (2 ** dim) + octant, 0)
-        blocks = _take_rows(corners, idx, ok)          # (B, Tf, th^d, Cin)
-    # each coarse cell expands into its 2^dim fine cells: block-channel GEMM
+        corners = _corner_view(xc, t_c, dim)       # (B, Tc*2^d, th^d*Cin)
+        blocks = windowed_gather(corners, link.parent)
+    B, Tf = blocks.shape[:2]
+    th = t_f // 2
+    blocks = blocks.reshape(B, Tf, th ** dim, Cin)
     wu = jnp.transpose(w, (1, 0, 2)).reshape(Cin, 2 ** dim * Cout).astype(dt)
     outf = jnp.einsum("btvc,cd->btvd", blocks.astype(dt), wu,
                       preferred_element_type=jnp.float32).astype(dt)
-    th = t_f // 2
-    outf = outf.reshape((B, outf.shape[1]) + (th,) * dim + (2 ** dim * Cout,))
-    out = unfold2(outf).reshape(B, outf.shape[1], t_f ** dim, Cout)
+    outf = outf.reshape((B, Tf) + (th,) * dim + (2 ** dim * Cout,))
+    out = unfold2(outf).reshape(B, Tf, t_f ** dim, Cout)
     return out * occ_f[..., None].astype(dt)

@@ -2,28 +2,25 @@
 
 Why this exists: SparseConvNet's gather-GEMM-scatter (SURVEY.md §2.12-2.13)
 assumes cheap random row access, which GPUs have and TPUs do not — measured
-XLA row-gathers run at ~14 ns/row (latency-bound), and the hardware
-`tpu.dynamic_gather` only shuffles within an 8-sublane register. The
-TPU-native formulation regularizes the sparsity instead:
+XLA row-gathers run at ~0.4 µs/row regardless of row size. The TPU-native
+formulation regularizes the sparsity:
 
-  * active sites bucket into t^3 spatial tiles (t=8 default); only ACTIVE
-    tiles are stored: (T, t, t, t, C) dense blocks + per-cell occupancy
-    masks. LArTPC occupancy within active tiles is ~1-3%, giving a bounded
-    FLOP inflation in exchange for fully regular memory access.
-  * tile-level adjacency (6 face neighbors) replaces the per-voxel rulebook:
-    lookups drop from O(V) rows to O(T) = O(V/12), and the gathered rows are
-    kB-sized faces that run at HBM bandwidth, not latency.
-  * submanifold convs become dense per-tile convs (after a 3-pass face halo
-    exchange) with outputs masked by occupancy — exactly SCN semantics
-    (inactive sites contribute zero and produce no output).
-  * space-to-depth folding (2x per axis) turns the small-channel 3^d conv
-    into 2^d GEMM taps with 8*C-wide contractions/outputs, saturating the
-    128-lane MXU (ops/tile_conv.py).
+  * active sites bucket into t^d spatial tiles stored as dense blocks with
+    per-cell occupancy masks; convs become dense per-tile GEMMs (MXU).
+  * ALL row-indexed movement (halo faces, down/up-sample tile links) is
+    expressed as a `GatherSpec`: a block-banded one-hot matmul against
+    dynamically-positioned source windows (MXU-speed permutation; windows
+    are per-block `dynamic_slice`s so only T/Bk coarse slices move), plus a
+    small EXACT correction list for out-of-window pairs (XLA row-gather of
+    a few hundred rows). Sorted tile keys make neighbor indices near-
+    monotone, so windows are narrow: z-neighbors are adjacent rows,
+    y-neighbors within ~2 z-lines, x-neighbors within ~2 slabs.
+  * relay closure guarantees the 3-pass face halo (x->y->z) reaches
+    diagonal neighbors (see close_tile_keys).
 
 Same key/sort/searchsorted machinery as ops/sparse_graph.py, applied at tile
-granularity. The row-level gather engine (ops/sparse_graph.py +
-ops/sparse_conv.py) remains the correctness oracle; both engines share the
-same parameter layout so checkpoints are interchangeable.
+granularity. The row-gather engine remains the correctness oracle; both
+engines share one parameter tree.
 """
 
 from __future__ import annotations
@@ -41,47 +38,110 @@ from uresnet_pytorch_tpu.ops.sparse_graph import _dedup_sorted
 # face offset order: -x, +x, -y, +y, -z, +z
 FACE_OFFSETS = np.array([[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0],
                          [0, 0, -1], [0, 0, 1]], np.int32)
+# block size of the windowed one-hot per axis (z needs almost none; x the most)
+FACE_BLOCK = {0: 256, 1: 64, 2: 8}   # axis -> Bk
+LINK_BLOCK = 64                      # down/up tile links
+CORR_CAP = 256                       # exact out-of-window pairs per spec
+
+
+class GatherSpec(NamedTuple):
+    """Row-permutation plan: out[i] = src[idx[i]] if ok[i] else 0, executed
+    as block-banded one-hot matmuls + an exact correction list
+    (ops/tile_conv.windowed_gather)."""
+    idx: jnp.ndarray        # (B, N) int32 rows into src
+    ok: jnp.ndarray         # (B, N) bool
+    starts: jnp.ndarray     # (B, N/Bk) int32 window start per block
+    corr_src: jnp.ndarray   # (B, P) int32
+    corr_dst: jnp.ndarray   # (B, P) int32
+    corr_ok: jnp.ndarray    # (B, P) bool
+    overflow: jnp.ndarray   # (B,) int32 pairs beyond the correction capacity
 
 
 class TileLevel(NamedTuple):
-    keys: jnp.ndarray      # (B, T) int32 sorted tile keys (grid G = S_l/t_l)
-    num: jnp.ndarray       # (B,) active tile count
-    face_nbr: jnp.ndarray  # (B, 2*dim, T) neighbor tile row; T if absent
-    face_ok: jnp.ndarray   # (B, 2*dim, T) bool
-    occ: jnp.ndarray       # (B, T, t^dim) bool active-cell mask
+    keys: jnp.ndarray              # (B, T) sorted tile keys, sentinel-padded
+    num: jnp.ndarray               # (B,)
+    occ: jnp.ndarray               # (B, T, t^d) bool active cells
+    faces: Tuple[GatherSpec, ...]  # 6 specs (-x,+x,-y,+y,-z,+z)
 
 
 class TileDownLink(NamedTuple):
-    parent: jnp.ndarray    # (B, Tf) coarse tile row; Tc when dropped
-    octant: jnp.ndarray    # (B, Tf) corner id in [0, 2^dim)
-    overflow: jnp.ndarray  # (B,)
+    children: Tuple[GatherSpec, ...]  # 2^d specs: coarse row <- fine tile row
+    parent: GatherSpec                # fine row <- coarse corner-view row
+    overflow: jnp.ndarray             # (B,)
 
 
 class TileGraph(NamedTuple):
     levels: Tuple[TileLevel, ...]
     links: Tuple[TileDownLink, ...]
-    feats0: jnp.ndarray       # (B, T0, t^dim, 1) merged input values
-    vox_tile: jnp.ndarray     # (B, Vin) blob row -> tile row (T0 if invalid)
-    vox_cell: jnp.ndarray     # (B, Vin) cell index inside the tile
-    input_valid: jnp.ndarray  # (B, Vin) bool
+    feats0: jnp.ndarray       # (B, T0, t^d, 1)
+    vox_tile: jnp.ndarray     # (B, Vin)
+    vox_cell: jnp.ndarray     # (B, Vin)
+    input_valid: jnp.ndarray  # (B, Vin)
 
 
 def tile_size_at(cfg: URESNetConfig, level: int) -> int:
     return min(cfg.tile_size, cfg.level_spatial_size(level))
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def tile_capacity_at(cfg: URESNetConfig, level: int) -> int:
     t = tile_size_at(cfg, level)
-    cells = t ** cfg.data_dim
     cap = max(cfg.min_tiles,
               int(np.ceil(cfg.level_capacity(level) / cfg.tile_occupancy)))
     grid_tiles = (cfg.level_spatial_size(level) // t) ** cfg.data_dim
-    return max(8, min(cap, grid_tiles))
+    cap = min(cap, grid_tiles)
+    # block machinery wants capacities divisible by the largest block size
+    return _round_up(max(8, cap), min(256, _round_up(cap, 8)))
 
+
+# ---------------------------------------------------------------------------
+# gather specs
+# ---------------------------------------------------------------------------
+
+def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
+                     block: int, corr_cap: int = CORR_CAP) -> GatherSpec:
+    """Plan a windowed permutation (per event; vmapped by callers).
+
+    idx/ok (N,). Window per block of `block` outputs = 3*block source rows
+    starting at the block's smallest valid index (clamped)."""
+    N = idx.shape[0]
+    Bk = min(block, N)
+    while N % Bk:
+        Bk //= 2
+    nb = N // Bk
+    win = 3 * Bk
+    blocks = jnp.where(ok, idx, src_len + win).reshape(nb, Bk)
+    starts = jnp.clip(jnp.min(blocks, axis=1), 0, max(src_len - 1, 0))
+    starts = starts.astype(jnp.int32)
+    local = idx - jnp.repeat(starts, Bk)
+    inband = ok & (local >= 0) & (local < win)
+    bad = ok & ~inband
+    # compact the out-of-window pairs
+    pos = jnp.cumsum(bad) - 1
+    tgt = jnp.where(bad & (pos < corr_cap), pos, corr_cap)
+    corr_src = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(
+        idx.astype(jnp.int32), mode="drop")
+    rows = jnp.arange(N, dtype=jnp.int32)
+    corr_dst = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(rows, mode="drop")
+    n_bad = jnp.sum(bad)
+    corr_ok = jnp.arange(corr_cap) < jnp.minimum(n_bad, corr_cap)
+    overflow = jnp.maximum(n_bad - corr_cap, 0).astype(jnp.int32)
+    return GatherSpec(idx.astype(jnp.int32), inband, starts,
+                      corr_src, corr_dst, corr_ok, overflow)
+
+
+def spec_block(spec: GatherSpec) -> int:
+    return spec.idx.shape[-1] // spec.starts.shape[-1]
+
+
+# ---------------------------------------------------------------------------
+# closure + per-event builders
+# ---------------------------------------------------------------------------
 
 def _sort_unique(keys: jnp.ndarray, cap: int):
-    """Unsorted (possibly duplicate, sentinel-padded) keys -> (sorted unique
-    (cap,), count)."""
     skeys = jnp.sort(keys)
     _, uniq, num, _ = _dedup_sorted(skeys, cap)
     return uniq, num
@@ -89,17 +149,10 @@ def _sort_unique(keys: jnp.ndarray, cap: int):
 
 def close_tile_keys(active_keys: jnp.ndarray, grid: int, dim: int,
                     cap_out: int):
-    """Relay closure for the 3-pass face halo (ops/tile_conv.halo_extend).
-
-    The halo exchanges only faces, passing x then y then z; data between
-    DIAGONALLY adjacent active tiles flows through intermediate tiles — which
-    may not be active. For every active pair (A, A+δ) this adds the relay
-    tiles A+(δx,0,0) and A+(δx,δy,0) (the pass-order prefix projections of
-    δ), guaranteeing the path exists. Relays carry zero occupancy/features;
-    they only forward halo data.
-
-    Returns (closed sorted keys (cap_out,), count). Overflow beyond cap_out
-    drops the largest keys (count is clamped; see SURVEY.md §7 hard part 1).
+    """Relay closure for the 3-pass face halo (see tile_conv.halo_extend):
+    for every diagonally-adjacent active pair (A, A+δ) add the pass-order
+    prefix projections A+(δx,0,0), A+(δx,δy,0) so face-only exchange reaches
+    the diagonal. Relays carry zero occupancy; they only forward halo data.
     """
     coords = decode(active_keys, grid, dim)
     valid = active_keys != SENTINEL
@@ -110,12 +163,10 @@ def close_tile_keys(active_keys: jnp.ndarray, grid: int, dim: int,
     for off in offsets:
         nz = sum(1 for o in off if o)
         if nz <= 1:
-            continue  # center/axis-aligned: direct face path
+            continue
         nkey = encode(coords + jnp.asarray(off, jnp.int32), valid, grid)
         _, pair = lookup(active_keys, nkey)
-        relays = set()
-        p1 = (off[0],) + (0,) * (dim - 1)
-        relays.add(p1)
+        relays = {(off[0],) + (0,) * (dim - 1)}
         if dim == 3:
             relays.add((off[0], off[1], 0))
         for p in relays:
@@ -129,7 +180,6 @@ def close_tile_keys(active_keys: jnp.ndarray, grid: int, dim: int,
 
 
 def _cell_index(coords: jnp.ndarray, t: int, dim: int) -> jnp.ndarray:
-    """Raster cell id within a tile from full-res coords."""
     cell = coords[..., 0] & (t - 1)
     for d in range(1, dim):
         cell = cell * t + (coords[..., d] & (t - 1))
@@ -142,11 +192,9 @@ def _shift_bits(t: int) -> int:
 
 def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
                      merge_mode: str):
-    """Per event: bucket voxels into tiles (closure-extended for the face
-    halo); merge duplicate voxels per cell.
-
-    Returns (tile_keys (Tcap,), num, feats (Tcap, t^dim), occ (Tcap, t^dim),
-    vox_tile (Vin,), vox_cell (Vin,))."""
+    """Per event: bucket voxels into (closure-extended) tiles; merge
+    duplicates per cell. Returns (tile_keys, num, feats (Tcap, t^d),
+    occ (Tcap, t^d), vox_tile (Vin,), vox_cell (Vin,))."""
     Vin, dim = coords.shape
     cells = t ** dim
     rows = jnp.arange(Vin)
@@ -187,21 +235,22 @@ def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
             vox_tile, vox_cell)
 
 
-def tile_face_rules(keys: jnp.ndarray, grid: int, dim: int):
-    """±axis neighbor tile rows via binary search on sorted tile keys."""
+def _face_specs(keys: jnp.ndarray, grid: int, dim: int):
+    """6 (2*dim) GatherSpecs for the ±axis tile neighbors."""
     coords = decode(keys, grid, dim)
     valid = keys != SENTINEL
-    idxs, oks = [], []
-    for off in FACE_OFFSETS[: 2 * dim]:
+    T = keys.shape[0]
+    specs = []
+    for f, off in enumerate(FACE_OFFSETS[: 2 * dim]):
         nkey = encode(coords + jnp.asarray(off[:dim]), valid, grid)
         idx, ok = lookup(keys, nkey)
-        idxs.append(idx.astype(jnp.int32))
-        oks.append(ok)
-    return jnp.stack(idxs), jnp.stack(oks)
+        axis = f // 2
+        specs.append(make_gather_spec(idx.astype(jnp.int32), ok, T,
+                                      FACE_BLOCK[axis]))
+    return tuple(specs)
 
 
 def _fold_occ_downsample(occ, t, dim):
-    """(T, t^dim) occupancy -> (T, (t/2)^dim) coarse-cell occupancy (any)."""
     T = occ.shape[0]
     if dim == 3:
         o = occ.reshape(T, t // 2, 2, t // 2, 2, t // 2, 2)
@@ -210,28 +259,38 @@ def _fold_occ_downsample(occ, t, dim):
     return o.any(axis=(2, 4)).reshape(T, (t // 2) ** 2)
 
 
-def _scatter_blocks(blocks, parent, octant, ok, Tc: int, tc: int, dim: int):
-    """Place per-fine-tile (th^dim) blocks into coarse tiles' corner regions.
+def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
+    """Per event: coarse keys (occupied parents + closure), child gather
+    specs (coarse <- fine, one per corner) and the parent spec
+    (fine <- coarse corner view)."""
+    fc = decode(keys_f, grid_f, dim)
+    valid = keys_f != SENTINEL
+    grid_c = grid_f // 2
+    pk_occ = encode(fc >> 1, valid & occ_any, grid_c)
+    active_c, _ = _sort_unique(pk_occ, Tc)
+    keys_c, num_c = close_tile_keys(active_c, grid_c, dim, Tc)
 
-    blocks (Tf, th^dim, C); coarse tile edge tc = 2*th. Per octant the
-    fine->coarse map is injective (unique scatter indices)."""
-    Tf, cells_h, C = blocks.shape
-    th = tc // 2
-    out = jnp.zeros((Tc + 1, tc ** dim, C), blocks.dtype)
-    bl = blocks.reshape((Tf,) + (th,) * dim + (C,))
+    cc = decode(keys_c, grid_c, dim)
+    valid_c = keys_c != SENTINEL
+    Tf = keys_f.shape[0]
+    children = []
     for o in range(2 ** dim):
-        obits = [(o >> (dim - 1 - d)) & 1 for d in range(dim)]
-        m = ok & (octant == o)
-        tgt = jnp.where(m, parent, Tc)
-        masked = bl * m.reshape((Tf,) + (1,) * (dim + 1)).astype(bl.dtype)
-        # embed the th^dim block into the tc^dim tile at this corner
-        pad = [(0, 0)]
-        for d in range(dim):
-            pad.append((obits[d] * th, (1 - obits[d]) * th))
-        pad.append((0, 0))
-        embedded = jnp.pad(masked, pad).reshape(Tf, tc ** dim, C)
-        out = out.at[tgt].add(embedded, mode="drop", unique_indices=True)
-    return out[:Tc]
+        obits = jnp.asarray([(o >> (dim - 1 - d)) & 1 for d in range(dim)],
+                            jnp.int32)
+        child_key = encode(cc * 2 + obits, valid_c, grid_f)
+        cidx, cok = lookup(keys_f, child_key)
+        children.append(make_gather_spec(cidx.astype(jnp.int32), cok, Tf,
+                                         LINK_BLOCK))
+    # fine -> (parent, octant) for the decoder
+    pk_all = encode(fc >> 1, valid, grid_c)
+    pidx, pok = lookup(keys_c, pk_all)
+    corner = jnp.zeros((Tf,), jnp.int32)
+    for d in range(dim):
+        corner = (corner << 1) | (fc[..., d] & 1)
+    corner = jnp.where(valid, corner, 0)
+    parent_rows = jnp.where(pok, pidx * (2 ** dim) + corner, 0).astype(jnp.int32)
+    parent = make_gather_spec(parent_rows, pok, Tc * 2 ** dim, LINK_BLOCK)
+    return keys_c, num_c, tuple(children), parent
 
 
 def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
@@ -254,56 +313,40 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
     for l in range(nlev):
         t_l = tile_size_at(cfg, l)
         G_l = cfg.level_spatial_size(l) // t_l
-        fn, fok = jax.vmap(lambda k: tile_face_rules(k, G_l, dim))(keys)
-        levels.append(TileLevel(keys, num, fn, fok, occ))
+        faces = jax.vmap(lambda k: _face_specs(k, G_l, dim))(keys)
+        levels.append(TileLevel(keys, num, occ, faces))
         if l < nlev - 1:
             t_c = tile_size_at(cfg, l + 1)
             Tc = tile_capacity_at(cfg, l + 1)
+            occ_any = occ.any(axis=-1)
             if t_c == t_l:
-                # coarse tile grid halves. Coarse actives = parents of
-                # OCCUPIED fine tiles (relays contribute nothing), then
-                # closure for the coarse level's own halo.
-                def link_one(k, o):
-                    fc = decode(k, G_l, dim)
-                    valid = k != SENTINEL
-                    occ_any = o.any(axis=-1)
-                    pk_occ = encode(fc >> 1, valid & occ_any, G_l // 2)
-                    active_c, _ = _sort_unique(pk_occ, Tc)
-                    keys_c, num_c = close_tile_keys(active_c, G_l // 2,
-                                                    dim, Tc)
-                    pk_all = encode(fc >> 1, valid, G_l // 2)
-                    pidx, pok = lookup(keys_c, pk_all)
-                    parent = jnp.where(pok, pidx, Tc).astype(jnp.int32)
-                    corner = jnp.zeros_like(parent)
-                    for d in range(dim):
-                        corner = (corner << 1) | (fc[..., d] & 1)
-                    corner = jnp.where(valid, corner, 0)
-                    return keys_c, num_c, parent, corner
-
-                keys_c, num_c, parent, octant = jax.vmap(link_one)(keys, occ)
-                dropped = jnp.zeros_like(num_c)
+                if Tc > keys.shape[1]:
+                    Tc = keys.shape[1]
+                keys_c, num_c, children, parent = jax.vmap(
+                    lambda k, oa: _down_link(k, oa, G_l, dim, Tc))(keys, occ_any)
                 occ_h = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
-                occ_c = jax.vmap(
-                    lambda b, p, oc, okk: _scatter_blocks(
-                        b[..., None].astype(jnp.float32), p, oc,
-                        okk, Tc, t_c, dim)[..., 0] > 0
-                )(occ_h, parent, octant, parent < Tc)
+                # coarse occupancy: pull each corner's child occupancy
+                from uresnet_pytorch_tpu.ops.tile_conv import assemble_children
+                occ_c = assemble_children(
+                    occ_h[..., None].astype(jnp.float32), children, t_c,
+                    dim)[..., 0] > 0
             else:
-                # tile edge shrank with the grid (t_c = t_l / 2): tile keys
-                # are UNCHANGED (same spatial region), link is identity
+                # tile edge shrank with the grid: same tile rows, cells halve
                 assert t_c * 2 == t_l, (t_c, t_l)
-                if Tc != keys.shape[1]:
-                    Tc = keys.shape[1]
+                Tc = keys.shape[1]
                 keys_c, num_c = keys, num
-                parent = jnp.where(
-                    keys != SENTINEL,
-                    jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1), Tc)
-                octant = jnp.zeros_like(parent)
-                dropped = jnp.zeros_like(num)
+                ident = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+                ok = keys != SENTINEL
+                mk = lambda i, o: jax.vmap(
+                    lambda ii, oo: make_gather_spec(ii, oo, Tc, LINK_BLOCK)
+                )(i, o)
+                children = (mk(ident, ok),)
+                parent = mk(ident, ok)
                 occ_c = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
-            links.append(TileDownLink(parent, octant, dropped))
+            links.append(TileDownLink(children, parent,
+                                      jnp.zeros_like(num_c)))
             keys, num, occ = keys_c, num_c, occ_c
 
     return TileGraph(tuple(levels), tuple(links), feats0[..., None],

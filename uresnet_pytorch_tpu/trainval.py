@@ -148,6 +148,9 @@ class TrainVal:
                 state["params"], state["batch_stats"], batch, False)
             return metrics
 
+        # pure (unjitted) step fns, used by the benchmark harness
+        self.train_step_fn = train_step
+        self.forward_step_fn = forward_step
         # Parameters/optimizer replicate; the batch shards events across the
         # 'data' mesh axis. XLA GSPMD derives the gradient allreduce (psum
         # over ICI) from these shardings (SURVEY.md §2.9, §5.8).
