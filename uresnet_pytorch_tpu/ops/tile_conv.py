@@ -49,7 +49,7 @@ def windowed_gather(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
     N = spec.idx.shape[1]
     nb = spec.starts.shape[1]
     Bk = N // nb
-    win = 3 * Bk
+    win = spec.window.shape[-1]
     dt = src.dtype
 
     padded = jnp.pad(src, ((0, 0), (0, win), (0, 0)))
@@ -252,14 +252,23 @@ def upsample_conv_tiled(xc, link, occ_f, t_f: int, t_c: int, dim: int,
     xc (B,Tc,t_c^dim,Cin) -> (B,Tf,t_f^dim,Cout), masked by fine occupancy."""
     dt = xc.dtype
     Cin, Cout = w.shape[1], w.shape[2]
-    if len(link.children) == 1:
-        blocks = xc.reshape(xc.shape[0], xc.shape[1], -1)  # identity link
-    else:
-        corners = _corner_view(xc, t_c, dim)       # (B, Tc*2^d, th^d*Cin)
-        blocks = windowed_gather(corners, link.parent)
-    B, Tf = blocks.shape[:2]
     th = t_f // 2
-    blocks = blocks.reshape(B, Tf, th ** dim, Cin)
+    if len(link.children) == 1:
+        blocks = xc  # identity link: whole coarse tile = the half-block
+        B, Tf = blocks.shape[:2]
+        blocks = blocks.reshape(B, Tf, th ** dim, Cin)
+    else:
+        # gather whole parent tiles (unscaled indices keep the windowed
+        # permutation exact), then select each fine tile's corner with an
+        # octant one-hot contraction
+        flat = xc.reshape(xc.shape[0], xc.shape[1], -1)
+        g = windowed_gather(flat, link.parent)     # (B, Tf, t_c^d * Cin)
+        B, Tf = g.shape[:2]
+        corners = _corner_view(g.reshape(B, Tf, t_c ** dim, Cin), t_c, dim)
+        corners = corners.reshape(B, Tf, 2 ** dim, th ** dim * Cin)
+        oh = jax.nn.one_hot(link.octant, 2 ** dim, dtype=dt)
+        blocks = jnp.einsum("bto,btof->btf", oh, corners.astype(dt))
+        blocks = blocks.reshape(B, Tf, th ** dim, Cin)
     wu = jnp.transpose(w, (1, 0, 2)).reshape(Cin, 2 ** dim * Cout).astype(dt)
     outf = jnp.einsum("btvc,cd->btvd", blocks.astype(dt), wu,
                       preferred_element_type=jnp.float32).astype(dt)

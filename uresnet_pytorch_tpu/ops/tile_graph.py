@@ -49,12 +49,13 @@ class GatherSpec(NamedTuple):
     as block-banded one-hot matmuls + an exact correction list
     (ops/tile_conv.windowed_gather)."""
     idx: jnp.ndarray        # (B, N) int32 rows into src
-    ok: jnp.ndarray         # (B, N) bool
+    ok: jnp.ndarray         # (B, N) bool (True only for in-window rows)
     starts: jnp.ndarray     # (B, N/Bk) int32 window start per block
     corr_src: jnp.ndarray   # (B, P) int32
     corr_dst: jnp.ndarray   # (B, P) int32
     corr_ok: jnp.ndarray    # (B, P) bool
     overflow: jnp.ndarray   # (B,) int32 pairs beyond the correction capacity
+    window: jnp.ndarray     # (win,) int8 zeros — static window size carrier
 
 
 class TileLevel(NamedTuple):
@@ -66,7 +67,8 @@ class TileLevel(NamedTuple):
 
 class TileDownLink(NamedTuple):
     children: Tuple[GatherSpec, ...]  # 2^d specs: coarse row <- fine tile row
-    parent: GatherSpec                # fine row <- coarse corner-view row
+    parent: GatherSpec                # fine row <- coarse TILE row (unscaled)
+    octant: jnp.ndarray               # (B, Tf) corner of each fine tile
     overflow: jnp.ndarray             # (B,)
 
 
@@ -77,6 +79,23 @@ class TileGraph(NamedTuple):
     vox_tile: jnp.ndarray     # (B, Vin)
     vox_cell: jnp.ndarray     # (B, Vin)
     input_valid: jnp.ndarray  # (B, Vin)
+
+
+def graph_overflows(graph: "TileGraph") -> jnp.ndarray:
+    """Total correction-list overflow across all gather specs (per batch).
+
+    Non-zero means some out-of-window pairs were DROPPED (wrong halo values)
+    — raise CORR_CAP or reduce batch/event size. Checked by tests and
+    exposable via TrainVal debug mode."""
+    tot = jnp.zeros((), jnp.int32)
+    for lev in graph.levels:
+        for spec in lev.faces:
+            tot = tot + spec.overflow.sum()
+    for link in graph.links:
+        for spec in link.children:
+            tot = tot + spec.overflow.sum()
+        tot = tot + link.parent.overflow.sum()
+    return tot
 
 
 def tile_size_at(cfg: URESNetConfig, level: int) -> int:
@@ -102,17 +121,21 @@ def tile_capacity_at(cfg: URESNetConfig, level: int) -> int:
 # ---------------------------------------------------------------------------
 
 def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
-                     block: int, corr_cap: int = CORR_CAP) -> GatherSpec:
+                     block: int, corr_cap: int = CORR_CAP,
+                     win_mult: int = 3) -> GatherSpec:
     """Plan a windowed permutation (per event; vmapped by callers).
 
-    idx/ok (N,). Window per block of `block` outputs = 3*block source rows
-    starting at the block's smallest valid index (clamped)."""
+    idx/ok (N,). Window per block of `block` outputs = win_mult*block source
+    rows starting at the block's smallest valid index (clamped). win_mult
+    must exceed the typical idx spread per block: 3 for near-monotone maps
+    (faces), larger when idx is a scaled map (tile links expand indices by
+    2^dim, so their spread per block is ~(2^dim * len_ratio) * block)."""
     N = idx.shape[0]
     Bk = min(block, N)
     while N % Bk:
         Bk //= 2
     nb = N // Bk
-    win = 3 * Bk
+    win = win_mult * Bk
     blocks = jnp.where(ok, idx, src_len + win).reshape(nb, Bk)
     starts = jnp.clip(jnp.min(blocks, axis=1), 0, max(src_len - 1, 0))
     starts = starts.astype(jnp.int32)
@@ -130,11 +153,8 @@ def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
     corr_ok = jnp.arange(corr_cap) < jnp.minimum(n_bad, corr_cap)
     overflow = jnp.maximum(n_bad - corr_cap, 0).astype(jnp.int32)
     return GatherSpec(idx.astype(jnp.int32), inband, starts,
-                      corr_src, corr_dst, corr_ok, overflow)
-
-
-def spec_block(spec: GatherSpec) -> int:
-    return spec.idx.shape[-1] // spec.starts.shape[-1]
+                      corr_src, corr_dst, corr_ok, overflow,
+                      jnp.zeros((win,), jnp.int8))
 
 
 # ---------------------------------------------------------------------------
@@ -279,8 +299,10 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
                             jnp.int32)
         child_key = encode(cc * 2 + obits, valid_c, grid_f)
         cidx, cok = lookup(keys_f, child_key)
+        # child idx expands by the fine/coarse tile-count ratio (~2-3):
+        # widen the window accordingly
         children.append(make_gather_spec(cidx.astype(jnp.int32), cok, Tf,
-                                         LINK_BLOCK))
+                                         LINK_BLOCK, win_mult=6))
     # fine -> (parent, octant) for the decoder
     pk_all = encode(fc >> 1, valid, grid_c)
     pidx, pok = lookup(keys_c, pk_all)
@@ -288,9 +310,14 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     for d in range(dim):
         corner = (corner << 1) | (fc[..., d] & 1)
     corner = jnp.where(valid, corner, 0)
-    parent_rows = jnp.where(pok, pidx * (2 ** dim) + corner, 0).astype(jnp.int32)
-    parent = make_gather_spec(parent_rows, pok, Tc * 2 ** dim, LINK_BLOCK)
-    return keys_c, num_c, tuple(children), parent
+    # parent gathers the WHOLE coarse tile (unscaled indices); the decoder
+    # selects the corner with an octant one-hot. The fine-lex -> coarse-lex
+    # map back-jumps by up to a slab length where a fine coordinate wraps,
+    # so give this spec a wide window and a big exact-correction budget
+    # (upsample runs only once per level transition).
+    parent = make_gather_spec(pidx.astype(jnp.int32), pok, Tc, LINK_BLOCK,
+                              corr_cap=4096, win_mult=8)
+    return keys_c, num_c, tuple(children), parent, corner
 
 
 def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
@@ -322,7 +349,7 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
             if t_c == t_l:
                 if Tc > keys.shape[1]:
                     Tc = keys.shape[1]
-                keys_c, num_c, children, parent = jax.vmap(
+                keys_c, num_c, children, parent, octant = jax.vmap(
                     lambda k, oa: _down_link(k, oa, G_l, dim, Tc))(keys, occ_any)
                 occ_h = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
@@ -343,9 +370,10 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
                 )(i, o)
                 children = (mk(ident, ok),)
                 parent = mk(ident, ok)
+                octant = jnp.zeros_like(ident)
                 occ_c = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
-            links.append(TileDownLink(children, parent,
+            links.append(TileDownLink(children, parent, octant,
                                       jnp.zeros_like(num_c)))
             keys, num, occ = keys_c, num_c, occ_c
 
