@@ -47,12 +47,18 @@ def test_fold_unfold_roundtrip():
 
 
 def _specs_from(nbr, ok, T):
-    """(B, 6, T) raw idx/ok -> tuple of 6 batched GatherSpecs."""
+    """(B, 6, T) raw idx/ok -> tuple of 3 paired (±axis) batched specs,
+    matching tile_graph._face_specs layout."""
     from uresnet_pytorch_tpu.ops.tile_graph import make_gather_spec
-    return tuple(
-        jax.vmap(lambda i, o: make_gather_spec(i, o, T, 8))(
-            jnp.asarray(nbr[:, f]), jnp.asarray(ok[:, f]))
-        for f in range(nbr.shape[1]))
+    specs = []
+    for ax in range(nbr.shape[1] // 2):
+        idx2 = np.concatenate([nbr[:, 2 * ax], nbr[:, 2 * ax + 1] + T],
+                              axis=1).astype(np.int32)
+        ok2 = np.concatenate([ok[:, 2 * ax], ok[:, 2 * ax + 1]], axis=1)
+        specs.append(jax.vmap(
+            lambda i, o: make_gather_spec(i, o, 2 * T, 8))(
+            jnp.asarray(idx2), jnp.asarray(ok2)))
+    return tuple(specs)
 
 
 def test_windowed_gather_exact():

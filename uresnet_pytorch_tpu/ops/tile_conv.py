@@ -141,23 +141,34 @@ def halo_extend(x: jnp.ndarray, faces: Tuple[GatherSpec, ...], t: int,
                 dim: int) -> jnp.ndarray:
     """(B, T, t^dim, C) -> (B, T, (t+2)^dim, C) spatial, 3-pass face halo.
 
-    face order (-x,+x,-y,+y,-z,+z): our +axis halo is the +axis neighbor's
-    low face of the CURRENT (progressively extended) array."""
+    The extended array is allocated once (pad); each pass gathers BOTH ±axis
+    neighbor faces in one windowed permutation (faces[axis] stacks minus then
+    plus) and writes them into the halo slots in place. Pass k's faces span
+    the full extent of already-extended axes, so edge/corner data propagates
+    through relay tiles (tile_graph.close_tile_keys)."""
     B, T = x.shape[:2]
     C = x.shape[-1]
     xs = x.reshape((B, T) + (t,) * dim + (C,))
+    pad = [(0, 0), (0, 0)] + [(1, 1)] * dim + [(0, 0)]
+    ext = jnp.pad(xs, pad)
     for ax in range(dim):
         sp_ax = 2 + ax
-        lo_face = jax.lax.index_in_dim(xs, 0, sp_ax, keepdims=True)
-        hi_face = jax.lax.index_in_dim(xs, xs.shape[sp_ax] - 1, sp_ax,
-                                       keepdims=True)
-        fshape = lo_face.shape
-        lo_flat = lo_face.reshape(B, T, -1)
-        hi_flat = hi_face.reshape(B, T, -1)
-        halo_lo = windowed_gather(hi_flat, faces[2 * ax]).reshape(fshape)
-        halo_hi = windowed_gather(lo_flat, faces[2 * ax + 1]).reshape(fshape)
-        xs = jnp.concatenate([halo_lo, xs, halo_hi], axis=sp_ax)
-    return xs.reshape((B, T) + ((t + 2) ** dim,) + (C,))
+        # the faces we SEND: first/last core layers, full extent elsewhere
+        send_lo = jax.lax.index_in_dim(ext, 1, sp_ax, keepdims=True)
+        send_hi = jax.lax.index_in_dim(ext, t, sp_ax, keepdims=True)
+        fshape = send_lo.shape
+        # minus-half receives the -axis neighbor's HIGH face; plus-half the
+        # +axis neighbor's LOW face — stack sources to match the spec order
+        src = jnp.concatenate([send_hi.reshape(B, T, -1),
+                               send_lo.reshape(B, T, -1)], axis=1)
+        halo = windowed_gather(src, faces[ax])           # (B, 2T, F)
+        halo_lo = halo[:, :T].reshape(fshape)
+        halo_hi = halo[:, T:].reshape(fshape)
+        idx_lo = (slice(None),) * sp_ax + (0,)
+        idx_hi = (slice(None),) * sp_ax + (t + 1,)
+        ext = ext.at[idx_lo].set(halo_lo.squeeze(sp_ax))
+        ext = ext.at[idx_hi].set(halo_hi.squeeze(sp_ax))
+    return ext.reshape((B, T) + ((t + 2) ** dim,) + (C,))
 
 
 # ---------------------------------------------------------------------------
@@ -168,23 +179,23 @@ _CONV_DN = {3: ("NDHWC", "DHWIO", "NDHWC"), 2: ("NHWC", "HWIO", "NHWC")}
 
 
 def submanifold_conv_tiled(x, occ, faces, t: int, dim: int, w) -> jnp.ndarray:
-    """x (B,T,t^dim,Cin), occ (B,T,t^dim) -> (B,T,t^dim,Cout)."""
+    """x (B,T,t^dim,Cin), occ (B,T,t^dim) -> (B,T,t^dim,Cout).
+
+    Direct 3^dim VALID conv on the halo-extended tiles (batch = B*T). XLA
+    im2col gives a 3^dim*Cin-deep contraction; measured faster than
+    space-to-depth folding, whose 6-D transposes dominate."""
     dt = x.dtype
     B, T = x.shape[:2]
     Cin = x.shape[-1]
     Cout = w.shape[-1]
     ext = halo_extend(x, faces, t, dim)
-    ext = ext.reshape((B, T) + (t + 2,) * dim + (Cin,))
-    extf = fold2(ext)                                 # (B,T,(t+2)/2.., 2^d Cin)
-    th = t // 2
-    kernel = fold_weights(w, dim).astype(dt)
-    xin = extf.reshape((B * T,) + extf.shape[2:])
+    xin = ext.reshape((B * T,) + (t + 2,) * dim + (Cin,))
+    kernel = w.reshape((3,) * dim + (Cin, Cout)).astype(dt)
     out = jax.lax.conv_general_dilated(
         xin, kernel, window_strides=(1,) * dim, padding="VALID",
         dimension_numbers=_CONV_DN[dim],
         preferred_element_type=jnp.float32)
-    out = out.astype(dt).reshape((B, T) + (th,) * dim + (2 ** dim * Cout,))
-    out = unfold2(out).reshape(B, T, t ** dim, Cout)
+    out = out.astype(dt).reshape(B, T, t ** dim, Cout)
     return out * occ[..., None].astype(dt)
 
 

@@ -38,10 +38,12 @@ from uresnet_pytorch_tpu.ops.sparse_graph import _dedup_sorted
 # face offset order: -x, +x, -y, +y, -z, +z
 FACE_OFFSETS = np.array([[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0],
                          [0, 0, -1], [0, 0, 1]], np.int32)
-# block size of the windowed one-hot per axis (z needs almost none; x the most)
-FACE_BLOCK = {0: 256, 1: 64, 2: 8}   # axis -> Bk
-LINK_BLOCK = 64                      # down/up tile links
-CORR_CAP = 256                       # exact out-of-window pairs per spec
+# Block size of the windowed one-hot permutations. Uniform: the windowed
+# traffic is win_mult * N * F regardless of Bk, and a fixed Bk keeps the
+# Pallas kernel shape-space small.
+FACE_BLOCK = {0: 256, 1: 256, 2: 256}   # axis -> Bk
+LINK_BLOCK = 256                        # down/up tile links
+CORR_CAP = 256                          # exact out-of-window pairs per spec
 
 
 class GatherSpec(NamedTuple):
@@ -256,17 +258,26 @@ def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
 
 
 def _face_specs(keys: jnp.ndarray, grid: int, dim: int):
-    """6 (2*dim) GatherSpecs for the ±axis tile neighbors."""
+    """One GatherSpec per axis, ± neighbors stacked (minus half first).
+
+    Tile capacities are multiples of the block size, so the two halves align
+    to block boundaries and never share a window."""
     coords = decode(keys, grid, dim)
     valid = keys != SENTINEL
     T = keys.shape[0]
     specs = []
-    for f, off in enumerate(FACE_OFFSETS[: 2 * dim]):
-        nkey = encode(coords + jnp.asarray(off[:dim]), valid, grid)
-        idx, ok = lookup(keys, nkey)
-        axis = f // 2
-        specs.append(make_gather_spec(idx.astype(jnp.int32), ok, T,
-                                      FACE_BLOCK[axis]))
+    for axis in range(dim):
+        parts = []
+        for half, f in enumerate((2 * axis, 2 * axis + 1)):
+            off = FACE_OFFSETS[f][:dim]
+            nkey = encode(coords + jnp.asarray(off), valid, grid)
+            idx, ok = lookup(keys, nkey)
+            # the conv-time source stacks [minus-sources | plus-sources]:
+            # the plus half indexes the second T rows
+            parts.append(((idx + half * T).astype(jnp.int32), ok))
+        idx2 = jnp.concatenate([p[0] for p in parts])
+        ok2 = jnp.concatenate([p[1] for p in parts])
+        specs.append(make_gather_spec(idx2, ok2, 2 * T, FACE_BLOCK[axis]))
     return tuple(specs)
 
 
