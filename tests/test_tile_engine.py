@@ -84,6 +84,33 @@ def test_windowed_gather_exact():
     assert int(np.asarray(spec.overflow).sum()) == 0
 
 
+def test_pallas_gather_matches_xla_interpret():
+    """The Pallas windowed-gather kernel (interpret mode on CPU) must match
+    the XLA reference exactly, and the custom VJP must match autodiff."""
+    from uresnet_pytorch_tpu.ops.tile_graph import make_gather_spec
+    from uresnet_pytorch_tpu.ops import tile_conv
+    from uresnet_pytorch_tpu.ops.pallas.windowed_gather import gather_forward
+    rng = np.random.default_rng(9)
+    B, S, N, F = 2, 96, 64, 128
+    src = jnp.asarray(rng.normal(size=(B, S, F)).astype(np.float32))
+    base = np.clip(np.arange(N) * (S // N) + rng.integers(-4, 5, N), 0, S - 1)
+    idx = base[None].repeat(B, 0).astype(np.int32)
+    idx[0, 5] = S - 1  # a far jump -> correction path
+    ok = np.ones((B, N), bool)
+    ok[1, 7] = False
+    spec = jax.vmap(lambda i, o: make_gather_spec(i, o, S, 16))(
+        jnp.asarray(idx), jnp.asarray(ok))
+    ref = tile_conv._windowed_gather_xla(src, spec)
+    out = gather_forward(src, spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # custom VJP == autodiff of the XLA path
+    g = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+    _, vjp_ref = jax.vjp(lambda s: tile_conv._windowed_gather_xla(s, spec), src)
+    _, vjp_cus = jax.vjp(lambda s: tile_conv.windowed_gather(s, spec), src)
+    np.testing.assert_allclose(np.asarray(vjp_cus(g)[0]),
+                               np.asarray(vjp_ref(g)[0]), atol=1e-5)
+
+
 def test_single_tile_conv_matches_dense():
     """One fully-active tile, no neighbors: tiled submanifold conv == dense
     SAME conv with zero boundary."""

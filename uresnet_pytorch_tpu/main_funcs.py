@@ -103,6 +103,8 @@ def inference(cfg: URESNetConfig, io=None) -> dict:
             tot_loss = tot_acc = 0.0
             cls_correct = np.zeros(cfg.num_class)
             cls_count = np.zeros(cfg.num_class)
+            inter = np.zeros(cfg.num_class)
+            union = np.zeros(cfg.num_class)
             t0 = time.perf_counter()
             for _ in range(n_iters):
                 blob = io.next()
@@ -113,16 +115,23 @@ def inference(cfg: URESNetConfig, io=None) -> dict:
                 cc = np.asarray(res["class_count"])
                 cls_correct += pca * cc
                 cls_count += cc
+                inter += np.asarray(res["intersection"])
+                union += np.asarray(res["union"])
                 if cfg.output_file:
                     io.store_segment(blob["index"], blob,
                                      np.asarray(res["softmax"]))
             dt = time.perf_counter() - t0
             per_class = cls_correct / np.maximum(cls_count, 1.0)
-            row_keys = (["ckpt", "loss", "accuracy", "events_per_sec"] +
-                        [f"acc_class{c}" for c in range(cfg.num_class)])
+            iou = inter / np.maximum(union, 1.0)
+            miou = float(iou[cls_count > 0].mean()) if (cls_count > 0).any() else 0.0
+            row_keys = (["ckpt", "loss", "accuracy", "miou",
+                         "events_per_sec"] +
+                        [f"acc_class{c}" for c in range(cfg.num_class)] +
+                        [f"iou_class{c}" for c in range(cfg.num_class)])
             row_vals = ([os.path.basename(ckpt) if ckpt else "none",
-                         tot_loss / n_iters, tot_acc / n_iters,
-                         n_iters * cfg.batch_size / dt] + list(per_class))
+                         tot_loss / n_iters, tot_acc / n_iters, miou,
+                         n_iters * cfg.batch_size / dt] + list(per_class)
+                        + list(iou))
             csv.record(row_keys, row_vals)
             csv.write()
             csv.flush()

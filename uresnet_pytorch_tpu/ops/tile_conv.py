@@ -40,11 +40,12 @@ from uresnet_pytorch_tpu.ops.tile_graph import GatherSpec
 # windowed permutation
 # ---------------------------------------------------------------------------
 
-def windowed_gather(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
-    """out[b, i] = src[b, spec.idx[b, i]] (0 where invalid), exactly.
+# None = auto (Pallas kernel on TPU, XLA elsewhere); tests can force a path.
+USE_PALLAS = None
 
-    src (B, S, F) -> (B, N, F). In-window pairs go through block one-hot
-    matmuls; the rest through the exact correction list."""
+
+def _windowed_gather_xla(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
+    """XLA reference implementation (CPU path / oracle)."""
     B, S, F = src.shape
     N = spec.idx.shape[1]
     nb = spec.starts.shape[1]
@@ -70,6 +71,49 @@ def windowed_gather(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
     dst = jnp.where(spec.corr_ok, spec.corr_dst, N)
     out = jax.vmap(lambda o, d, v: o.at[d].set(v, mode="drop"))(out, dst, cv)
     return out
+
+
+def _wg_impl(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
+    use = USE_PALLAS
+    if use is None:
+        use = jax.default_backend() == "tpu"
+    if use:
+        from uresnet_pytorch_tpu.ops.pallas.windowed_gather import (
+            gather_forward)
+        return gather_forward(src, spec)
+    return _windowed_gather_xla(src, spec)
+
+
+@jax.custom_vjp
+def windowed_gather(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
+    """out[b, i] = src[b, spec.idx[b, i]] (0 where invalid), exactly.
+
+    src (B, S, F) -> (B, N, F). In-window pairs run as block one-hot MXU
+    matmuls (Pallas kernel on TPU); out-of-window pairs through the exact
+    correction list. Custom VJP: the transpose is a scatter-add (each source
+    row sums the cotangents of its readers)."""
+    return _wg_impl(src, spec)
+
+
+def _wg_fwd(src, spec):
+    return _wg_impl(src, spec), (spec, src.shape)
+
+
+def _wg_bwd(res, g):
+    spec, (B, S, F) = res
+    d = jnp.zeros((B, S, F), g.dtype)
+    idx = jnp.where(spec.ok, spec.idx, S)
+    d = jax.vmap(lambda dd, i, gg: dd.at[i].add(gg, mode="drop"))(d, idx, g)
+    csrc = jnp.where(spec.corr_ok, spec.corr_src, S)
+    gv = jax.vmap(lambda gg, i: jnp.take(gg, i, axis=0))(g, spec.corr_dst)
+    gv = gv * spec.corr_ok[..., None].astype(g.dtype)
+    d = jax.vmap(lambda dd, i, v: dd.at[i].add(v, mode="drop"))(d, csrc, gv)
+    d_spec = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), spec)
+    return d, d_spec
+
+
+windowed_gather.defvjp(_wg_fwd, _wg_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -149,26 +193,21 @@ def halo_extend(x: jnp.ndarray, faces: Tuple[GatherSpec, ...], t: int,
     B, T = x.shape[:2]
     C = x.shape[-1]
     xs = x.reshape((B, T) + (t,) * dim + (C,))
-    pad = [(0, 0), (0, 0)] + [(1, 1)] * dim + [(0, 0)]
-    ext = jnp.pad(xs, pad)
     for ax in range(dim):
         sp_ax = 2 + ax
-        # the faces we SEND: first/last core layers, full extent elsewhere
-        send_lo = jax.lax.index_in_dim(ext, 1, sp_ax, keepdims=True)
-        send_hi = jax.lax.index_in_dim(ext, t, sp_ax, keepdims=True)
-        fshape = send_lo.shape
+        lo_face = jax.lax.index_in_dim(xs, 0, sp_ax, keepdims=True)
+        hi_face = jax.lax.index_in_dim(xs, xs.shape[sp_ax] - 1, sp_ax,
+                                       keepdims=True)
+        fshape = lo_face.shape
         # minus-half receives the -axis neighbor's HIGH face; plus-half the
         # +axis neighbor's LOW face — stack sources to match the spec order
-        src = jnp.concatenate([send_hi.reshape(B, T, -1),
-                               send_lo.reshape(B, T, -1)], axis=1)
+        src = jnp.concatenate([hi_face.reshape(B, T, -1),
+                               lo_face.reshape(B, T, -1)], axis=1)
         halo = windowed_gather(src, faces[ax])           # (B, 2T, F)
         halo_lo = halo[:, :T].reshape(fshape)
         halo_hi = halo[:, T:].reshape(fshape)
-        idx_lo = (slice(None),) * sp_ax + (0,)
-        idx_hi = (slice(None),) * sp_ax + (t + 1,)
-        ext = ext.at[idx_lo].set(halo_lo.squeeze(sp_ax))
-        ext = ext.at[idx_hi].set(halo_hi.squeeze(sp_ax))
-    return ext.reshape((B, T) + ((t + 2) ** dim,) + (C,))
+        xs = jnp.concatenate([halo_lo, xs, halo_hi], axis=sp_ax)
+    return xs.reshape((B, T) + ((t + 2) ** dim,) + (C,))
 
 
 # ---------------------------------------------------------------------------

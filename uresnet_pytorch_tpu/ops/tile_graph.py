@@ -140,7 +140,9 @@ def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
     win = win_mult * Bk
     blocks = jnp.where(ok, idx, src_len + win).reshape(nb, Bk)
     starts = jnp.clip(jnp.min(blocks, axis=1), 0, max(src_len - 1, 0))
-    starts = starts.astype(jnp.int32)
+    # 8-aligned so the Pallas kernel's dynamic window DMA satisfies the
+    # sublane tiling constraint
+    starts = ((starts // 8) * 8).astype(jnp.int32)
     local = idx - jnp.repeat(starts, Bk)
     inband = ok & (local >= 0) & (local < win)
     bad = ok & ~inband

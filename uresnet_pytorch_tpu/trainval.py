@@ -146,6 +146,10 @@ class TrainVal:
         def forward_step(state, batch):
             _, (_, metrics) = self._loss_fn(
                 state["params"], state["batch_stats"], batch, False)
+            from uresnet_pytorch_tpu.models.losses import iou_counts
+            # iou_counts only argmaxes, so softmax stands in for logits
+            metrics.update(iou_counts(metrics["softmax"], batch["label"],
+                                      batch["n_voxels"]))
             return metrics
 
         # pure (unjitted) step fns, used by the benchmark harness
