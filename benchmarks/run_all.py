@@ -90,9 +90,9 @@ def config_2(smoke):
     from uresnet_pytorch_tpu.config import URESNetConfig
     cfg = URESNetConfig(model_name="uresnet_dense", spatial_size=128,
                         uresnet_filters=16, uresnet_num_strides=5,
-                        max_voxels=16384, batch_size=2,
+                        max_voxels=16384, batch_size=1,
                         weight_key="weight", compute_dtype="bfloat16")
-    blob = _event_blob(cfg, 2, 2000 if smoke else 8000, with_weight=True)
+    blob = _event_blob(cfg, 1, 2000 if smoke else 8000, with_weight=True)
     sec = _train_model(cfg, blob)
     return {"metric": "dense_train_128c_events_per_sec",
             "value": cfg.batch_size / sec}

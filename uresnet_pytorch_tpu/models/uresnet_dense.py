@@ -74,10 +74,14 @@ class DenseUResNetCore(nn.Module):
         x = vol.astype(cfg.compute_dtype)
         x = nn.Conv(planes[0], (3,) * dim, use_bias=False,
                     dtype=cfg.compute_dtype, name="stem")(x)
+        # rematerialize residual blocks: dense 3D volumes at 128^3+ would
+        # otherwise hold every activation for the backward pass
+        # (jax.checkpoint trades FLOPs for HBM, SURVEY.md §7 design stance)
+        Block = nn.remat(ResBlock, static_argnums=(2,))
         skips = []
         for level, width in enumerate(planes):
             for r in range(cfg.reps):
-                x = ResBlock(cfg, width, name=f"enc{level}_block{r}")(x, train)
+                x = Block(cfg, width, name=f"enc{level}_block{r}")(x, train)
             if level < len(planes) - 1:
                 skips.append(x)
                 x = BNAct(cfg, name=f"down{level}_bnact")(x, train)
@@ -91,7 +95,7 @@ class DenseUResNetCore(nn.Module):
                                  name=f"up{level}_deconv")(x)
             x = jnp.concatenate([x, skips[level].astype(x.dtype)], axis=-1)
             for r in range(cfg.reps):
-                x = ResBlock(cfg, planes[level], name=f"dec{level}_block{r}")(x, train)
+                x = Block(cfg, planes[level], name=f"dec{level}_block{r}")(x, train)
         x = BNAct(cfg, name="head_bnact")(x, train)
         logits = nn.Conv(cfg.num_class, (1,) * dim, use_bias=True,
                          dtype=jnp.float32, name="head")(x.astype(jnp.float32))

@@ -230,10 +230,12 @@ def submanifold_conv_tiled(x, occ, faces, t: int, dim: int, w) -> jnp.ndarray:
     ext = halo_extend(x, faces, t, dim)
     xin = ext.reshape((B * T,) + (t + 2,) * dim + (Cin,))
     kernel = w.reshape((3,) * dim + (Cin, Cout)).astype(dt)
+    # no preferred_element_type: the MXU accumulates bf16 inputs in f32
+    # internally, and a f32 output would break dtype symmetry in the conv's
+    # transpose (VJP) rule
     out = jax.lax.conv_general_dilated(
         xin, kernel, window_strides=(1,) * dim, padding="VALID",
-        dimension_numbers=_CONV_DN[dim],
-        preferred_element_type=jnp.float32)
+        dimension_numbers=_CONV_DN[dim])
     out = out.astype(dt).reshape(B, T, t ** dim, Cout)
     return out * occ[..., None].astype(dt)
 
