@@ -109,6 +109,12 @@ def _sparse_cfg(smoke, batch):
         batch_size=batch, compute_dtype="bfloat16"), n_vox
 
 
+def _train_batch(smoke):
+    # full-scale sparse TRAINING holds remat block boundaries + optimizer
+    # state: batch 2 fits the 16G HBM, batch 4 does not
+    return 4 if smoke else 2
+
+
 def config_3(smoke):
     cfg, n_vox = _sparse_cfg(smoke, 4)
     blob = _event_blob(cfg, 4, int(n_vox * 1.5))
@@ -118,8 +124,9 @@ def config_3(smoke):
 
 
 def config_4(smoke):
-    cfg, n_vox = _sparse_cfg(smoke, 4)
-    blob = _event_blob(cfg, 4, int(n_vox * 1.5))
+    b = _train_batch(smoke)
+    cfg, n_vox = _sparse_cfg(smoke, b)
+    blob = _event_blob(cfg, b, int(n_vox * 1.5))
     sec = _train_model(cfg, blob)
     return {"metric": "sparse_train_512c_events_per_sec",
             "value": cfg.batch_size / sec}
@@ -127,8 +134,9 @@ def config_4(smoke):
 
 def config_5(smoke):
     import jax
-    cfg, n_vox = _sparse_cfg(smoke, max(4, len(jax.devices())))
-    blob = _event_blob(cfg, cfg.batch_size, int(n_vox * 1.5))
+    b = max(_train_batch(smoke), len(jax.devices()))
+    cfg, n_vox = _sparse_cfg(smoke, b)
+    blob = _event_blob(cfg, b, int(n_vox * 1.5))
     sec = _train_model(cfg, blob)
     return {"metric": "dp_sparse_train_events_per_sec",
             "value": cfg.batch_size / sec,

@@ -187,6 +187,26 @@ def test_engine_equivalence(spatial, strides, tile):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_graph_overflow_zero_midscale():
+    """Correction capacities must hold with room to spare on a mid-scale
+    event (the TPU-scale check lives in the bench harness)."""
+    from uresnet_pytorch_tpu.ops.tile_graph import (build_tile_graph,
+                                                    graph_overflows)
+    from uresnet_pytorch_tpu.iotools.synthetic import generate_event
+    cfg = _cfg("tile", spatial_size=64, uresnet_num_strides=4,
+               max_voxels=8192, batch_size=2)
+    coords = np.zeros((2, cfg.max_voxels, 3), np.int32)
+    values = np.zeros((2, cfg.max_voxels), np.float32)
+    nv = np.zeros((2,), np.int32)
+    for b in range(2):
+        c, v, _ = generate_event(0, b, 64, 3, 6000)
+        n = min(len(c), cfg.max_voxels)
+        coords[b, :n], values[b, :n], nv[b] = c[:n], v[:n], n
+    graph = jax.jit(lambda c, v, n: build_tile_graph(c, v, n, cfg))(
+        coords, values, nv)
+    assert int(jax.jit(graph_overflows)(graph)) == 0
+
+
 def test_tile_engine_trains():
     from uresnet_pytorch_tpu.trainval import TrainVal
     cfg = _cfg("tile")

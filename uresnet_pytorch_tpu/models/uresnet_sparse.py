@@ -108,13 +108,14 @@ class UResNetSparse(nn.Module):
 
         masks = [mask_of(l) for l in range(nlev)]
 
+        # remat residual blocks (backward-pass memory; SURVEY.md §7)
+        Block = nn.remat(SparseResBlock, static_argnums=(4,))
         x = SMConv(cfg, planes[0], name="stem")(graph.feats0.astype(dt),
                                                 levels[0])
         skips = []
         for l in range(nlev):
             for r in range(cfg.reps):
-                x = SparseResBlock(cfg, planes[l],
-                                   name=f"enc{l}_block{r}")(
+                x = Block(cfg, planes[l], name=f"enc{l}_block{r}")(
                     x, levels[l], masks[l], train)
             if l < nlev - 1:
                 skips.append(x)
@@ -133,8 +134,7 @@ class UResNetSparse(nn.Module):
                               levels[l + 1].keys.shape[1], w)
             x = jnp.concatenate([x, skips[l].astype(x.dtype)], axis=-1)
             for r in range(cfg.reps):
-                x = SparseResBlock(cfg, planes[l],
-                                   name=f"dec{l}_block{r}")(
+                x = Block(cfg, planes[l], name=f"dec{l}_block{r}")(
                     x, levels[l], masks[l], train)
 
         x = BNAct(cfg, name="head_bnact")(x, masks[0], train)

@@ -93,13 +93,15 @@ class UResNetSparseTiled(nn.Module):
 
         masks = [mask_of(l) for l in range(nlev)]
 
+        # remat residual blocks: the backward pass would otherwise hold every
+        # halo-extended activation (SURVEY.md §7 design stance)
+        Block = nn.remat(SparseResBlockTile, static_argnums=(4, 5))
         x = SMConvTile(cfg, planes[0], name="stem")(
             graph.feats0.astype(dt), levels[0], tsz[0])
         skips = []
         for l in range(nlev):
             for r in range(cfg.reps):
-                x = SparseResBlockTile(cfg, planes[l],
-                                       name=f"enc{l}_block{r}")(
+                x = Block(cfg, planes[l], name=f"enc{l}_block{r}")(
                     x, levels[l], masks[l], tsz[l], train)
             if l < nlev - 1:
                 skips.append(x)
@@ -119,8 +121,7 @@ class UResNetSparseTiled(nn.Module):
                 dim, w)
             x = jnp.concatenate([x, skips[l].astype(x.dtype)], axis=-1)
             for r in range(cfg.reps):
-                x = SparseResBlockTile(cfg, planes[l],
-                                       name=f"dec{l}_block{r}")(
+                x = Block(cfg, planes[l], name=f"dec{l}_block{r}")(
                     x, levels[l], masks[l], tsz[l], train)
 
         x = _bn_flat(cfg, "head_bnact", self, x, masks[0], train)
