@@ -70,7 +70,7 @@ def main():
     from uresnet_pytorch_tpu.iotools.synthetic import generate_event
 
     smoke = os.environ.get("BENCH_SMOKE") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", 2 if smoke else 4))
+    batch = int(os.environ.get("BENCH_BATCH", 2 if smoke else 8))
     n_vox = int(os.environ.get("BENCH_VOXELS", 2000 if smoke else 100_000))
     spatial = 64 if smoke else 512
 

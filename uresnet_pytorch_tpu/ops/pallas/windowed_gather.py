@@ -23,38 +23,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(win: int, Bk: int, starts_ref, idx_ref, src_ref, out_ref,
-            scratch, sem):
+def _kernel(win: int, Bk: int, nb: int, starts_ref, idx_ref, src_ref,
+            out_ref, scratch, sem):
+    """Double-buffered: block n's matmul overlaps block n+1's window DMA."""
     b = pl.program_id(0)
     n = pl.program_id(1)
+    slot = jax.lax.rem(n, 2)
+
+    def dma(k, s):
+        st = pl.multiple_of(starts_ref[b, k], 8)
+        return pltpu.make_async_copy(
+            src_ref.at[b, pl.ds(st, win), :], scratch.at[s], sem.at[s])
+
+    @pl.when(n == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(n + 1 < nb)
+    def _():
+        dma(n + 1, jax.lax.rem(n + 1, 2)).start()
+
+    # one-hot while DMAs are in flight
     start = pl.multiple_of(starts_ref[b, n], 8)
-    cp = pltpu.make_async_copy(
-        src_ref.at[b, pl.ds(start, win), :], scratch, sem)
-    cp.start()
-    # one-hot while the window DMA is in flight
     idx = idx_ref[0, n, :]                            # (Bk,) from VMEM
     local = (idx - start).reshape(Bk, 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     oh = (local == pos).astype(out_ref.dtype)
-    cp.wait()
-    out_ref[0] = jnp.dot(oh, scratch[:],
+    dma(n, slot).wait()
+    out_ref[0] = jnp.dot(oh, scratch[slot],
                          preferred_element_type=jnp.float32
                          ).astype(out_ref.dtype)
 
 
-# keep (win x F-chunk) window + out block within VMEM
-_MAX_F_CHUNK = 2048
+# double-buffered window scratch budget (bytes); F is chunked to fit
+_SCRATCH_BUDGET = 5 * 1024 * 1024
 
 
 def gather_forward(src: jnp.ndarray, spec, interpret: bool = False
                    ) -> jnp.ndarray:
     """src (B, S, F), spec: GatherSpec -> (B, N, F). Exact (includes the
     correction list). Wide feature dims are processed in chunks so the
-    window scratch stays within VMEM."""
+    double-buffered window scratch stays within VMEM."""
     B, S, F = src.shape
-    if F > _MAX_F_CHUNK:
-        outs = [gather_forward(src[:, :, o:o + _MAX_F_CHUNK], spec, interpret)
-                for o in range(0, F, _MAX_F_CHUNK)]
+    win_ = spec.window.shape[-1]
+    max_f = max(128, (_SCRATCH_BUDGET // (2 * 2 * win_)) // 128 * 128)
+    if F > max_f:
+        outs = [gather_forward(src[:, :, o:o + max_f], spec, interpret)
+                for o in range(0, F, max_f)]
         return jnp.concatenate(outs, axis=-1)
     N = spec.idx.shape[1]
     nb = spec.starts.shape[1]
@@ -75,12 +90,12 @@ def gather_forward(src: jnp.ndarray, spec, interpret: bool = False
         ],
         out_specs=pl.BlockSpec((1, Bk, Fp), lambda b, n, st: (b, n, 0)),
         scratch_shapes=[
-            pltpu.VMEM((win, Fp), dt),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, win, Fp), dt),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, win, Bk),
+        functools.partial(_kernel, win, Bk, nb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, N, Fp), dt),
         interpret=interpret,
