@@ -40,8 +40,11 @@ FACE_OFFSETS = np.array([[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0],
                          [0, 0, -1], [0, 0, 1]], np.int32)
 # Block size of the windowed one-hot permutations. Uniform: the windowed
 # traffic is win_mult * N * F regardless of Bk, and a fixed Bk keeps the
-# Pallas kernel shape-space small.
+# Pallas kernel shape-space small. Window multipliers per axis: z-neighbors
+# are adjacent rows and y-neighbors sit within ~2 z-lines (2*grid <= 256 at
+# the largest level), so their spreads fit a 2x window; x crosses slabs.
 FACE_BLOCK = {0: 256, 1: 256, 2: 256}   # axis -> Bk
+FACE_WIN = {0: 3, 1: 2, 2: 2}           # axis -> win_mult
 LINK_BLOCK = 256                        # down/up tile links
 CORR_CAP = 256                          # exact out-of-window pairs per spec
 
@@ -279,7 +282,8 @@ def _face_specs(keys: jnp.ndarray, grid: int, dim: int):
             parts.append(((idx + half * T).astype(jnp.int32), ok))
         idx2 = jnp.concatenate([p[0] for p in parts])
         ok2 = jnp.concatenate([p[1] for p in parts])
-        specs.append(make_gather_spec(idx2, ok2, 2 * T, FACE_BLOCK[axis]))
+        specs.append(make_gather_spec(idx2, ok2, 2 * T, FACE_BLOCK[axis],
+                                      win_mult=FACE_WIN[axis]))
     return tuple(specs)
 
 
@@ -329,7 +333,7 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     # so give this spec a wide window and a big exact-correction budget
     # (upsample runs only once per level transition).
     parent = make_gather_spec(pidx.astype(jnp.int32), pok, Tc, LINK_BLOCK,
-                              corr_cap=4096, win_mult=8)
+                              corr_cap=4096, win_mult=4)
     return keys_c, num_c, tuple(children), parent, corner
 
 
