@@ -207,6 +207,36 @@ def test_graph_overflow_zero_midscale():
     assert int(jax.jit(graph_overflows)(graph)) == 0
 
 
+def test_capacity_spill_keeps_loss_finite():
+    """Voxels whose tile is dropped by capacity overflow must yield ZERO
+    logits, not NaN (a NaN at a masked row contaminates the loss sum:
+    NaN * 0 weight = NaN). Regression for the jnp.take default-NaN fill."""
+    from uresnet_pytorch_tpu.trainval import TrainVal
+    # min_tiles floor = 8 tiles while the event spreads over many more
+    cfg = _cfg("tile", spatial_size=32, uresnet_num_strides=2,
+               max_voxels=512, min_tiles=8, tile_occupancy=64.0,
+               batch_size=1)
+    rng = np.random.default_rng(0)
+    flat = rng.choice(32 ** 3, size=400, replace=False)
+    blob = {
+        "coords": np.zeros((1, 512, 3), np.int32),
+        "values": np.zeros((1, 512), np.float32),
+        "label": np.zeros((1, 512), np.int32),
+        "n_voxels": np.array([400], np.int32),
+        "index": np.zeros(1, np.int64),
+    }
+    blob["coords"][0, :400, 0] = flat // 1024
+    blob["coords"][0, :400, 1] = (flat // 32) % 32
+    blob["coords"][0, :400, 2] = flat % 32
+    blob["values"][0, :400] = 1.0
+    blob["label"][0, :400] = rng.integers(0, 5, 400)
+    tv = TrainVal(cfg)
+    tv.initialize()
+    for _ in range(2):
+        m = tv.train_step(blob)
+        assert np.isfinite(float(m["loss"])), "spill produced NaN loss"
+
+
 def test_tile_engine_trains():
     from uresnet_pytorch_tpu.trainval import TrainVal
     cfg = _cfg("tile")

@@ -138,5 +138,10 @@ class UResNetSparseTiled(nn.Module):
         flat = logits_tiles.reshape(B, T0 * cells0, cfg.num_class)
         vox_flat = jnp.where(graph.input_valid,
                              graph.vox_tile * cells0 + graph.vox_cell, 0)
-        logits = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(flat, vox_flat)
+        # capacity-dropped voxels (vox_tile == T0, spill policy) index out of
+        # range: fill 0, NOT jnp.take's default NaN — a NaN here would
+        # contaminate the masked loss sum (NaN * 0 weight = NaN)
+        logits = jax.vmap(
+            lambda f, i: jnp.take(f, i, axis=0, mode="fill", fill_value=0.0)
+        )(flat, vox_flat)
         return jnp.where(graph.input_valid[..., None], logits, 0.0)
