@@ -94,8 +94,9 @@ def test_input_label_alignment():
     for i in range(20):
         r = roi[i]
         assert r < 32
-        # label at representative row has same coordinate
-        np.testing.assert_array_equal(coords[rep[r]] if False else True, True)
+        # representative input row carries the same coordinate, so labels
+        # gathered through rep land on the right level-0 row
+        np.testing.assert_array_equal(coords[rep[r]], coords[i])
         k = np.asarray(keys)[r]
         expect = np.asarray(encode(jnp.asarray(coords[i]),
                                    jnp.asarray(True), 16))

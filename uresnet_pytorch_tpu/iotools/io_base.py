@@ -44,6 +44,18 @@ class IOBase:
         self._cursor = 0
         self._rng = np.random.default_rng(cfg.seed)
         self._pred_writer = None
+        # multi-host data parallelism: each process samples a disjoint
+        # strided subset of every epoch (docs/distributed.md). Single-process
+        # runs see stride 1 / offset 0 — no behavior change.
+        self.sampler_stride = 1
+        self.sampler_offset = 0
+        try:
+            import jax
+            if jax.process_count() > 1:
+                self.sampler_stride = jax.process_count()
+                self.sampler_offset = jax.process_index()
+        except Exception:
+            pass
 
     # -------- subclass interface --------
     def _read_event(self, index: int) -> Dict[str, tuple]:
@@ -103,6 +115,9 @@ class IOBase:
                 order = np.arange(self._num_entries)
                 if self.cfg.shuffle:
                     rng.shuffle(order)
+                # process-strided shard of the epoch (no-op single-process)
+                shard = order[self.sampler_offset::self.sampler_stride]
+                order = shard if len(shard) else order
                 self._epoch_order = order
                 self._cursor = 0
             out[i] = self._epoch_order[self._cursor]

@@ -56,6 +56,13 @@ def train(cfg: URESNetConfig, io=None) -> TrainVal:
                 # stay fully asynchronous on device
                 loss = float(metrics["loss"])
                 acc = float(metrics["accuracy"])
+                overflow = int(metrics.get("overflow", 0))
+                if overflow:
+                    print(f"WARNING: iter {it + 1}: {overflow} halo pairs "
+                          "exceeded the correction capacity and were DROPPED "
+                          "(corrupted halo values) — raise "
+                          "ops/tile_graph.CORR_CAP or reduce event density",
+                          file=sys.stderr, flush=True)
             tfwd = watch.stop("forward")
             tsave = 0.0
             if cfg.checkpoint_step > 0 and (it + 1) % cfg.checkpoint_step == 0:
@@ -64,11 +71,13 @@ def train(cfg: URESNetConfig, io=None) -> TrainVal:
                 tsave = watch.stop("save")
             titer = watch.stop("iter")
             if report:
+                # reference columns first (schema continuity, SURVEY.md §5.5);
+                # 'overflow' appended as a TPU-engine health column
                 csv.record(
                     ["iter", "epoch", "loss", "accuracy", "titer", "tio",
-                     "tforward", "tbackward", "tsave", "lr"],
+                     "tforward", "tbackward", "tsave", "lr", "overflow"],
                     [it + 1, (it + 1) * epoch_per_iter, loss, acc, titer, tio,
-                     tfwd, 0.0, tsave, cfg.learning_rate])
+                     tfwd, 0.0, tsave, cfg.learning_rate, overflow])
                 csv.write()
                 csv.flush()
                 print(f"iter {it + 1}/{cfg.iteration} epoch "

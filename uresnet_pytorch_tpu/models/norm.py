@@ -3,9 +3,15 @@
 SCN's BatchNormalization normalises over active sites only (SURVEY.md §2.10);
 the dense-tensor analog would include padding garbage, so this is a custom
 module: moments over rows where mask is True, across batch and row axes.
-Running stats live in the standard flax 'batch_stats' collection. Per-device
-statistics (no cross-chip psum) — matching the reference's per-GPU BN
-(SURVEY.md §7 hard part 4).
+Running stats live in the standard flax 'batch_stats' collection.
+
+Cross-chip semantics: moments reduce over the WHOLE (masked) batch. Under
+the data-parallel jit the batch axis is sharded, so GSPMD turns these sums
+into cross-chip collectives — i.e. *global* batch statistics, slightly
+stronger than the reference's per-GPU BN (SURVEY.md §7 hard part 4 allows
+either; docs/distributed.md documents this choice, and
+tests/test_parallel.py pins it: sharded and single-device steps produce
+identical batch_stats).
 """
 
 from __future__ import annotations

@@ -18,7 +18,8 @@ from uresnet_pytorch_tpu.config import URESNetConfig
 from uresnet_pytorch_tpu.models.uresnet_sparse import BNAct, _conv_init
 from uresnet_pytorch_tpu.ops.tile_conv import (
     downsample_conv_tiled, submanifold_conv_tiled, upsample_conv_tiled)
-from uresnet_pytorch_tpu.ops.tile_graph import build_tile_graph, tile_size_at
+from uresnet_pytorch_tpu.ops.tile_graph import (
+    build_tile_graph, graph_overflows, tile_size_at)
 
 
 def _bn_flat(cfg, name, module, y, mask, train):
@@ -43,7 +44,7 @@ class SMConvTile(nn.Module):
         K = 3 ** cfg.data_dim
         w = self.param("w", _conv_init, (K, x.shape[-1], self.features))
         return submanifold_conv_tiled(
-            x.astype(cfg.compute_dtype), level.occ, level.faces, t,
+            x.astype(cfg.compute_dtype), level.occ, level.halo, t,
             cfg.data_dim, w)
 
 
@@ -79,6 +80,12 @@ class UResNetSparseTiled(nn.Module):
         dim = cfg.data_dim
         dt = cfg.compute_dtype
         graph = build_tile_graph(coords, values, n_voxels, cfg)
+        # Correction-capacity violations = silently-dropped halo pairs
+        # (wrong values). Surfaced through the 'diag' collection so TrainVal
+        # can report it per step (no-op unless the caller marks 'diag'
+        # mutable). SURVEY.md §7 hard part 1: overflow detection.
+        self.sow("diag", "overflow", graph_overflows(graph),
+                 reduce_fn=lambda a, b: b, init_fn=lambda: jnp.zeros((), jnp.int32))
         levels, links = graph.levels, graph.links
         nlev = len(levels)
         planes = cfg.n_planes

@@ -112,20 +112,19 @@ class TrainVal:
     def _loss_fn(self, params, batch_stats, batch, train: bool):
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(train=train)
-        if train:
-            logits, mut = self.model.apply(
-                variables, batch["coords"], batch["values"], batch["n_voxels"],
-                mutable=["batch_stats"], **kwargs)
-            new_stats = mut["batch_stats"]
-        else:
-            logits = self.model.apply(
-                variables, batch["coords"], batch["values"], batch["n_voxels"],
-                **kwargs)
-            new_stats = batch_stats
+        mutable = ["batch_stats", "diag"] if train else ["diag"]
+        logits, mut = self.model.apply(
+            variables, batch["coords"], batch["values"], batch["n_voxels"],
+            mutable=mutable, **kwargs)
+        new_stats = mut["batch_stats"] if train else batch_stats
         metrics = segmentation_loss(
             logits, batch["label"], batch["n_voxels"],
             weights=batch.get("weight"), num_class=self.cfg.num_class,
             return_softmax=not train)
+        # tile-engine correction-list overflow: nonzero = dropped halo pairs
+        # (corrupted values) — main_funcs warns on report steps
+        metrics["overflow"] = mut.get("diag", {}).get(
+            "overflow", jnp.zeros((), jnp.int32))
         return metrics["loss"], (new_stats, metrics)
 
     def _build_steps(self) -> None:
@@ -188,8 +187,13 @@ class TrainVal:
         return int(self.state["step"])
 
     def save_state(self, iteration: int) -> str:
-        return save_checkpoint(
-            checkpoint_path(self.cfg.weight_prefix, iteration), self.state)
+        path = checkpoint_path(self.cfg.weight_prefix, iteration)
+        # multi-host: params/opt-state replicate, so only process 0 writes
+        # (docs/distributed.md); every process still computes the path so
+        # restore/--resume is identical everywhere
+        if jax.process_index() == 0:
+            save_checkpoint(path, self.state)
+        return path
 
     def restore_state(self, path: str) -> None:
         self.state = restore_checkpoint(path, self.state)
