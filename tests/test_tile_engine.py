@@ -46,19 +46,11 @@ def test_fold_unfold_roundtrip():
                                   np.asarray(x[0, 0, 1, 0, 0]))  # x-bit
 
 
-def _specs_from(nbr, ok, T):
-    """(B, 6, T) raw idx/ok -> tuple of 3 paired (±axis) batched specs,
-    matching tile_graph._face_specs layout."""
-    from uresnet_pytorch_tpu.ops.tile_graph import make_gather_spec
-    specs = []
-    for ax in range(nbr.shape[1] // 2):
-        idx2 = np.concatenate([nbr[:, 2 * ax], nbr[:, 2 * ax + 1] + T],
-                              axis=1).astype(np.int32)
-        ok2 = np.concatenate([ok[:, 2 * ax], ok[:, 2 * ax + 1]], axis=1)
-        specs.append(jax.vmap(
-            lambda i, o: make_gather_spec(i, o, 2 * T, 8))(
-            jnp.asarray(idx2), jnp.asarray(ok2)))
-    return tuple(specs)
+def _halo_from_keys(keys_np, grid, dim=3):
+    """Sorted sentinel-padded per-event key array -> batched Halo26Spec."""
+    from uresnet_pytorch_tpu.ops.halo import build_halo26
+    return jax.vmap(lambda k: build_halo26(k, grid, dim))(
+        jnp.asarray(keys_np))
 
 
 def test_windowed_gather_exact():
@@ -114,16 +106,17 @@ def test_pallas_gather_matches_xla_interpret():
 def test_single_tile_conv_matches_dense():
     """One fully-active tile, no neighbors: tiled submanifold conv == dense
     SAME conv with zero boundary."""
+    from uresnet_pytorch_tpu.ops.coords import SENTINEL, encode
     from uresnet_pytorch_tpu.ops.tile_conv import submanifold_conv_tiled
     rng = np.random.default_rng(1)
     t, Cin, Cout = 4, 3, 2
     x = rng.normal(size=(1, 1, t ** 3, Cin)).astype(np.float32)
     occ = np.ones((1, 1, t ** 3), bool)
-    nbr = np.zeros((1, 6, 1), np.int32)
-    ok = np.zeros((1, 6, 1), bool)  # no neighbors
+    keys = np.array([[int(encode(jnp.asarray([1, 1, 1]),
+                                 jnp.asarray(True), 4))]], np.int32)
     w = rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.2
     out = submanifold_conv_tiled(jnp.asarray(x), jnp.asarray(occ),
-                                 _specs_from(nbr, ok, 1), t, 3,
+                                 _halo_from_keys(keys, 4), t, 3,
                                  jnp.asarray(w))
     dense = jax.lax.conv_general_dilated(
         jnp.asarray(x).reshape(1, t, t, t, Cin),
@@ -136,20 +129,18 @@ def test_single_tile_conv_matches_dense():
 
 def test_halo_extend_neighbors():
     """Two adjacent tiles: the halo face must carry the neighbor's data."""
-    from uresnet_pytorch_tpu.ops.tile_conv import halo_extend
+    from uresnet_pytorch_tpu.ops.coords import SENTINEL, encode
+    from uresnet_pytorch_tpu.ops.halo import halo26_extend
     t = 4
     x = np.zeros((1, 2, t ** 3, 1), np.float32)
     x[0, 0] = 1.0
     x[0, 1] = 2.0
-    # tile 1 is at +x of tile 0
-    nbr = np.zeros((1, 6, 2), np.int32)
-    ok = np.zeros((1, 6, 2), bool)
-    nbr[0, 1, 0] = 1   # tile0's +x neighbor is tile1
-    ok[0, 1, 0] = True
-    nbr[0, 0, 1] = 0   # tile1's -x neighbor is tile0
-    ok[0, 0, 1] = True
-    ext = np.asarray(halo_extend(jnp.asarray(x), _specs_from(nbr, ok, 2),
-                                 t, 3))
+    # tile 1 is at +x of tile 0 (keys sorted: x is the high bits)
+    k0 = int(encode(jnp.asarray([1, 1, 1]), jnp.asarray(True), 4))
+    k1 = int(encode(jnp.asarray([2, 1, 1]), jnp.asarray(True), 4))
+    keys = np.array([[k0, k1]], np.int32)
+    ext = np.asarray(halo26_extend(jnp.asarray(x),
+                                   _halo_from_keys(keys, 4), t, 3))
     ext = ext.reshape(1, 2, t + 2, t + 2, t + 2, 1)
     # tile0 high-x halo = tile1's low-x face (interior cells only)
     assert (ext[0, 0, t + 1, 1:t + 1, 1:t + 1] == 2.0).all()
@@ -174,7 +165,10 @@ def test_engine_equivalence(spatial, strides, tile):
     rng = jax.random.PRNGKey(3)
     vg = jax.jit(mg.init, static_argnames=("train",))(rng, *args, train=False)
     vt = jax.jit(mt.init, static_argnames=("train",))(rng, *args, train=False)
-    # identical parameter trees
+    # identical parameter trees ('diag' is the tile engine's overflow
+    # diagnostics channel, not state — exclude it)
+    vg = {k: v for k, v in vg.items() if k != "diag"}
+    vt = {k: v for k, v in vt.items() if k != "diag"}
     sg = jax.tree_util.tree_structure(vg)
     st = jax.tree_util.tree_structure(vt)
     assert sg == st, f"param trees differ:\n{sg}\nvs\n{st}"

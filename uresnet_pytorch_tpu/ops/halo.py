@@ -1,0 +1,267 @@
+"""Direct 26-neighbor tile halo: one gather step, no relay passes.
+
+Replaces the 3-pass face halo (x->y->z with relay-tile closure) with a
+single direct gather: every tile pulls the face/edge/corner slab it needs
+from each of its 3^d-1 neighbors, located by one sorted-key lookup per
+offset. Consequences:
+
+  * NO relay closure — tile sets contain only occupied tiles, shrinking the
+    padded tile capacity every level (relays carried zero occupancy and
+    existed purely to forward halo data through the pass chain).
+  * ONE kernel invocation per halo instead of 3 gathers + 3 growing
+    concatenations (the measured dominant cost of a submanifold conv).
+  * The transpose (backward) is the SAME gather with negated offsets: tile
+    j's cotangent pulls slab contributions from idx[-delta][j] — offset
+    symmetry means one spec serves both directions (ops/pallas/halo_fused
+    runs both on TPU).
+
+Replaces SparseConvNet's per-offset rulebook application (SURVEY.md
+§2.11-2.13: gather-GEMM-scatter per 3^d offset) at tile granularity: the
+offset rulebooks here are the (idx, ok) neighbor maps; windows + correction
+lists make their application MXU-shaped (see ops/tile_graph.py rationale).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode, encode, lookup
+
+# defaults for the windowed execution (Pallas kernel); the XLA reference
+# ignores windows and is exact by construction
+HALO_BLOCK = 128       # output rows per window block (kernel VMEM sizing)
+HALO_WIN_MULT = 4      # window rows = mult * block
+HALO_CORR_CAP = 1024   # exact out-of-window pairs per event (all offsets)
+
+
+@lru_cache(maxsize=None)
+def halo_offsets(dim: int) -> tuple:
+    """The 3^dim - 1 nonzero neighbor offsets, lexicographic. Negation
+    reverses this order: offset index of -delta is (K-1-k)."""
+    offs = [tuple(o) for o in
+            np.stack(np.meshgrid(*([np.arange(-1, 2)] * dim),
+                                 indexing="ij"), -1).reshape(-1, dim)
+            if any(o)]
+    return tuple(offs)
+
+
+@lru_cache(maxsize=None)
+def slab_cells(delta: tuple, t: int):
+    """Static cell geometry for one neighbor offset.
+
+    Returns (ext_cells, src_cells) int32 arrays of length S: ext_cells are
+    positions in the (t+2)^dim halo-extended tile (row-major, last axis
+    fastest) that offset `delta` fills; src_cells are the matching positions
+    in the neighbor's t^dim tile. S = prod(t if d==0 else 1 for d in delta).
+    """
+    dim = len(delta)
+    axes_ext, axes_src = [], []
+    for d in delta:
+        if d == -1:
+            axes_ext.append(np.array([0]))
+            axes_src.append(np.array([t - 1]))
+        elif d == 1:
+            axes_ext.append(np.array([t + 1]))
+            axes_src.append(np.array([0]))
+        else:
+            axes_ext.append(np.arange(1, t + 1))
+            axes_src.append(np.arange(t))
+    eg = np.stack(np.meshgrid(*axes_ext, indexing="ij"), -1).reshape(-1, dim)
+    sg = np.stack(np.meshgrid(*axes_src, indexing="ij"), -1).reshape(-1, dim)
+    ext_cells = np.zeros(len(eg), np.int32)
+    src_cells = np.zeros(len(sg), np.int32)
+    for a in range(dim):
+        ext_cells = ext_cells * (t + 2) + eg[:, a]
+        src_cells = src_cells * t + sg[:, a]
+    return ext_cells, src_cells
+
+
+@lru_cache(maxsize=None)
+def body_cells(t: int, dim: int) -> np.ndarray:
+    """Ext positions of the tile's own t^dim cells (offset zero)."""
+    g = np.stack(np.meshgrid(*([np.arange(1, t + 1)] * dim),
+                             indexing="ij"), -1).reshape(-1, dim)
+    cells = np.zeros(len(g), np.int32)
+    for a in range(dim):
+        cells = cells * (t + 2) + g[:, a]
+    return cells
+
+
+class Halo26Spec(NamedTuple):
+    """Per-level neighbor maps + windowed-execution plan (batched: leading
+    B axis added by vmap in tile_graph.build_tile_graph)."""
+    idx: jnp.ndarray       # (K, T) int32 neighbor row per offset
+    ok: jnp.ndarray        # (K, T) bool neighbor exists
+    starts: jnp.ndarray    # (nb,) int32 shared window start per block
+    inband: jnp.ndarray    # (K, T) bool ok AND within the block window
+    corr_src: jnp.ndarray  # (P,) int32 source rows (out-of-window pairs)
+    corr_dst: jnp.ndarray  # (P,) int32 dest rows
+    corr_off: jnp.ndarray  # (P,) int32 offset index k
+    corr_ok: jnp.ndarray   # (P,) bool
+    overflow: jnp.ndarray  # () int32 pairs beyond the correction capacity
+    window: jnp.ndarray    # (win,) int8 zeros — static window-size carrier
+
+
+def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
+                 block: int = None, win_mult: int = None,
+                 corr_cap: int = None) -> Halo26Spec:
+    """Per event (vmapped by callers): neighbor maps for all 3^dim-1 offsets
+    against the sorted tile-key array, plus the shared window plan.
+
+    Late-bound defaults read the module constants so tests can monkeypatch
+    them to force overflow."""
+    if block is None:
+        block = HALO_BLOCK
+    if win_mult is None:
+        win_mult = HALO_WIN_MULT
+    if corr_cap is None:
+        corr_cap = HALO_CORR_CAP
+    offs = halo_offsets(dim)
+    K = len(offs)
+    T = keys.shape[0]
+    coords = decode(keys, grid, dim)
+    valid = keys != SENTINEL
+
+    idxs, oks = [], []
+    for off in offs:
+        nkey = encode(coords + jnp.asarray(off, jnp.int32), valid, grid)
+        i, ok = lookup(keys, nkey)
+        idxs.append(i.astype(jnp.int32))
+        oks.append(ok)
+    idx = jnp.stack(idxs)   # (K, T)
+    ok = jnp.stack(oks)
+
+    Bk = min(block, T)
+    while T % Bk:
+        Bk //= 2
+    nb = T // Bk
+    win = min(win_mult * Bk, max(8, ((T + 7) // 8) * 8))
+    # window anchor: smallest valid neighbor row in the block (clamped)
+    cand = jnp.where(ok, idx, T + win).reshape(K, nb, Bk)
+    starts = jnp.min(cand, axis=(0, 2))
+    starts = jnp.clip(starts, 0, max(T - 1, 0))
+    starts = ((starts // 8) * 8).astype(jnp.int32)     # sublane-aligned DMA
+
+    local = idx - jnp.repeat(starts, Bk)[None, :]
+    inband = ok & (local >= 0) & (local < win)
+    bad = (ok & ~inband).reshape(-1)                    # (K*T,)
+    pos = jnp.cumsum(bad) - 1
+    tgt = jnp.where(bad & (pos < corr_cap), pos, corr_cap)
+    flat_idx = idx.reshape(-1)
+    rows = jnp.tile(jnp.arange(T, dtype=jnp.int32), (K,))
+    offk = jnp.repeat(jnp.arange(K, dtype=jnp.int32), T)
+    corr_src = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(
+        flat_idx, mode="drop")
+    corr_dst = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(rows, mode="drop")
+    corr_off = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(offk, mode="drop")
+    n_bad = jnp.sum(bad)
+    corr_ok = jnp.arange(corr_cap) < jnp.minimum(n_bad, corr_cap)
+    overflow = jnp.maximum(n_bad - corr_cap, 0).astype(jnp.int32)
+    return Halo26Spec(idx, ok, starts, inband, corr_src, corr_dst, corr_off,
+                      corr_ok, overflow, jnp.zeros((win,), jnp.int8))
+
+
+# ---------------------------------------------------------------------------
+# execution: XLA reference (exact, oracle/CPU) + dispatch with custom VJP
+# ---------------------------------------------------------------------------
+
+# None = auto (Pallas kernel on TPU, XLA elsewhere); tests can force a path.
+USE_PALLAS = None
+
+
+def _ext_cells(t: int, dim: int) -> int:
+    return (t + 2) ** dim
+
+
+def halo26_extend_xla(x: jnp.ndarray, spec: Halo26Spec, t: int,
+                      dim: int) -> jnp.ndarray:
+    """Exact reference: (B, T, t^dim, C) -> (B, T, (t+2)^dim, C).
+
+    Row-gather per offset; ignores the window plan entirely (windows +
+    corrections are an execution strategy of the Pallas kernel, validated
+    against this)."""
+    B, T, cells, C = x.shape
+    offs = halo_offsets(dim)
+    ext = jnp.zeros((B, T, _ext_cells(t, dim), C), x.dtype)
+    ext = ext.at[:, :, body_cells(t, dim), :].set(x)
+    for k, off in enumerate(offs):
+        ecells, scells = slab_cells(off, t)
+        rows = jnp.where(spec.ok[:, k], spec.idx[:, k], T)
+        slab = jax.vmap(
+            lambda xx, rr: jnp.take(xx, rr, axis=0, mode="fill",
+                                    fill_value=0))(
+            x[:, :, scells, :].reshape(B, T, -1), rows)
+        ext = ext.at[:, :, ecells, :].set(
+            slab.reshape(B, T, len(ecells), C))
+    return ext
+
+
+def halo26_transpose_xla(g: jnp.ndarray, spec: Halo26Spec, t: int,
+                         dim: int) -> jnp.ndarray:
+    """Exact transpose of halo26_extend_xla: (B, T, (t+2)^dim, C) cotangent
+    -> (B, T, t^dim, C). Offset symmetry: tile j's slab-k cotangent comes
+    from row idx[K-1-k][j] (its -delta neighbor)."""
+    B, T, ecells_n, C = g.shape
+    offs = halo_offsets(dim)
+    K = len(offs)
+    d_x = g[:, :, body_cells(t, dim), :]
+    for k, off in enumerate(offs):
+        ecells, scells = slab_cells(off, t)
+        rk = K - 1 - k
+        rows = jnp.where(spec.ok[:, rk], spec.idx[:, rk], T)
+        slab = jax.vmap(
+            lambda gg, rr: jnp.take(gg, rr, axis=0, mode="fill",
+                                    fill_value=0))(
+            g[:, :, ecells, :].reshape(B, T, -1), rows)
+        d_x = d_x.at[:, :, scells, :].add(
+            slab.reshape(B, T, len(ecells), C).astype(d_x.dtype))
+    return d_x
+
+
+def _halo_fwd_impl(x, spec, t, dim):
+    use = USE_PALLAS
+    if use is None:
+        use = jax.default_backend() == "tpu"
+    if use:
+        from uresnet_pytorch_tpu.ops.pallas.halo_fused import halo26_fwd
+        return halo26_fwd(x, spec, t, dim)
+    return halo26_extend_xla(x, spec, t, dim)
+
+
+def _halo_bwd_impl(g, spec, t, dim):
+    use = USE_PALLAS
+    if use is None:
+        use = jax.default_backend() == "tpu"
+    if use:
+        from uresnet_pytorch_tpu.ops.pallas.halo_fused import halo26_bwd
+        return halo26_bwd(g, spec, t, dim)
+    return halo26_transpose_xla(g, spec, t, dim)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def halo26_extend(x: jnp.ndarray, spec: Halo26Spec, t: int,
+                  dim: int) -> jnp.ndarray:
+    """(B, T, t^dim, C) -> (B, T, (t+2)^dim, C) halo-extended tiles, exact.
+
+    TPU: one Pallas kernel (window DMA + per-offset one-hot MXU gathers +
+    correction list). Elsewhere: the XLA row-gather reference. Backward is
+    the negated-offset gather (see module docstring)."""
+    return _halo_fwd_impl(x, spec, t, dim)
+
+
+def _h26_fwd(x, spec, t, dim):
+    return _halo_fwd_impl(x, spec, t, dim), spec
+
+
+def _h26_bwd(t, dim, spec, g):
+    d_spec = jax.tree_util.tree_map(
+        lambda v: np.zeros(v.shape, jax.dtypes.float0), spec)
+    return _halo_bwd_impl(g, spec, t, dim), d_spec
+
+
+halo26_extend.defvjp(_h26_fwd, _h26_bwd)

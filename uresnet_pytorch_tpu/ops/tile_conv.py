@@ -3,14 +3,13 @@
 Compute layer of the tile engine (rationale in ops/tile_graph.py). Replaces
 SCN's CUDA gather-GEMM-scatter (SURVEY.md §2.13) with MXU-native forms:
 
-  * `windowed_gather` — ALL row movement (halo faces, tile up/down links)
-    runs as block-banded one-hot matmuls against dynamically positioned
-    source windows (a permutation on the MXU; XLA row-gathers measured
-    ~0.4 µs/row are avoided), plus an exact small correction list for
-    out-of-window pairs.
-  * 3-pass face halo (x -> y -> z): each pass exchanges ±faces OF THE
-    ALREADY-EXTENDED array, so edges/corners propagate through relays
-    (tile_graph.close_tile_keys guarantees the relay path).
+  * the submanifold-conv halo is a DIRECT 3^d-1 neighbor gather
+    (ops/halo.py, one Pallas kernel on TPU) followed by ONE VALID lax.conv
+    over the extended tiles.
+  * `windowed_gather` — tile up/down link movement runs as block-banded
+    one-hot matmuls against dynamically positioned source windows (a
+    permutation on the MXU; XLA row-gathers measured ~0.4 µs/row are
+    avoided), plus an exact small correction list for out-of-window pairs.
   * space-to-depth fold (2x/axis): the 3^d small-channel submanifold conv
     becomes a 2^d-tap dense conv with (2^d*C)-wide channels, executed by ONE
     `lax.conv_general_dilated` per layer — full 128-lane MXU utilization and
@@ -178,56 +177,25 @@ def fold_weights(w: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# halo exchange
-# ---------------------------------------------------------------------------
-
-def halo_extend(x: jnp.ndarray, faces: Tuple[GatherSpec, ...], t: int,
-                dim: int) -> jnp.ndarray:
-    """(B, T, t^dim, C) -> (B, T, (t+2)^dim, C) spatial, 3-pass face halo.
-
-    The extended array is allocated once (pad); each pass gathers BOTH ±axis
-    neighbor faces in one windowed permutation (faces[axis] stacks minus then
-    plus) and writes them into the halo slots in place. Pass k's faces span
-    the full extent of already-extended axes, so edge/corner data propagates
-    through relay tiles (tile_graph.close_tile_keys)."""
-    B, T = x.shape[:2]
-    C = x.shape[-1]
-    xs = x.reshape((B, T) + (t,) * dim + (C,))
-    for ax in range(dim):
-        sp_ax = 2 + ax
-        lo_face = jax.lax.index_in_dim(xs, 0, sp_ax, keepdims=True)
-        hi_face = jax.lax.index_in_dim(xs, xs.shape[sp_ax] - 1, sp_ax,
-                                       keepdims=True)
-        fshape = lo_face.shape
-        # minus-half receives the -axis neighbor's HIGH face; plus-half the
-        # +axis neighbor's LOW face — stack sources to match the spec order
-        src = jnp.concatenate([hi_face.reshape(B, T, -1),
-                               lo_face.reshape(B, T, -1)], axis=1)
-        halo = windowed_gather(src, faces[ax])           # (B, 2T, F)
-        halo_lo = halo[:, :T].reshape(fshape)
-        halo_hi = halo[:, T:].reshape(fshape)
-        xs = jnp.concatenate([halo_lo, xs, halo_hi], axis=sp_ax)
-    return xs.reshape((B, T) + ((t + 2) ** dim,) + (C,))
-
-
-# ---------------------------------------------------------------------------
 # convolutions
 # ---------------------------------------------------------------------------
 
 _CONV_DN = {3: ("NDHWC", "DHWIO", "NDHWC"), 2: ("NHWC", "HWIO", "NHWC")}
 
 
-def submanifold_conv_tiled(x, occ, faces, t: int, dim: int, w) -> jnp.ndarray:
+def submanifold_conv_tiled(x, occ, halo, t: int, dim: int, w) -> jnp.ndarray:
     """x (B,T,t^dim,Cin), occ (B,T,t^dim) -> (B,T,t^dim,Cout).
 
-    Direct 3^dim VALID conv on the halo-extended tiles (batch = B*T). XLA
-    im2col gives a 3^dim*Cin-deep contraction; measured faster than
-    space-to-depth folding, whose 6-D transposes dominate."""
+    Halo-extend via the direct 3^dim-1 neighbor gather (ops/halo.py — one
+    Pallas kernel on TPU), then ONE 3^dim VALID conv on the extended tiles
+    (batch = B*T). XLA's conv at this shape runs near MXU peak (measured:
+    benchmarks/micro.py), so the halo gather is the entire cost."""
+    from uresnet_pytorch_tpu.ops.halo import halo26_extend
     dt = x.dtype
     B, T = x.shape[:2]
     Cin = x.shape[-1]
     Cout = w.shape[-1]
-    ext = halo_extend(x, faces, t, dim)
+    ext = halo26_extend(x, halo, t, dim)
     xin = ext.reshape((B * T,) + (t + 2,) * dim + (Cin,))
     kernel = w.reshape((3,) * dim + (Cin, Cout)).astype(dt)
     # no preferred_element_type: the MXU accumulates bf16 inputs in f32

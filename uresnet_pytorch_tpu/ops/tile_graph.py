@@ -7,16 +7,15 @@ formulation regularizes the sparsity:
 
   * active sites bucket into t^d spatial tiles stored as dense blocks with
     per-cell occupancy masks; convs become dense per-tile GEMMs (MXU).
-  * ALL row-indexed movement (halo faces, down/up-sample tile links) is
-    expressed as a `GatherSpec`: a block-banded one-hot matmul against
-    dynamically-positioned source windows (MXU-speed permutation; windows
-    are per-block `dynamic_slice`s so only T/Bk coarse slices move), plus a
-    small EXACT correction list for out-of-window pairs (XLA row-gather of
-    a few hundred rows). Sorted tile keys make neighbor indices near-
-    monotone, so windows are narrow: z-neighbors are adjacent rows,
-    y-neighbors within ~2 z-lines, x-neighbors within ~2 slabs.
-  * relay closure guarantees the 3-pass face halo (x->y->z) reaches
-    diagonal neighbors (see close_tile_keys).
+  * the conv halo is a DIRECT 3^d-1 neighbor gather (ops/halo.py): every
+    tile pulls face/edge/corner slabs straight from its diagonal neighbors,
+    so the tile set contains only occupied tiles (no relay closure) and the
+    whole halo is one kernel on TPU.
+  * down/up-sample tile links are `GatherSpec`s: block-banded one-hot
+    matmuls against dynamically-positioned source windows (MXU-speed
+    permutation), plus a small EXACT correction list for out-of-window
+    pairs. Sorted tile keys make link indices near-monotone, so windows
+    stay narrow.
 
 Same key/sort/searchsorted machinery as ops/sparse_graph.py, applied at tile
 granularity. The row-gather engine remains the correctness oracle; both
@@ -33,18 +32,9 @@ import numpy as np
 
 from uresnet_pytorch_tpu.config import URESNetConfig
 from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode, encode, lookup
+from uresnet_pytorch_tpu.ops.halo import Halo26Spec, build_halo26
 from uresnet_pytorch_tpu.ops.sparse_graph import _dedup_sorted
 
-# face offset order: -x, +x, -y, +y, -z, +z
-FACE_OFFSETS = np.array([[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0],
-                         [0, 0, -1], [0, 0, 1]], np.int32)
-# Block size of the windowed one-hot permutations. Uniform: the windowed
-# traffic is win_mult * N * F regardless of Bk, and a fixed Bk keeps the
-# Pallas kernel shape-space small. Window multipliers per axis: z-neighbors
-# are adjacent rows and y-neighbors sit within ~2 z-lines (2*grid <= 256 at
-# the largest level), so their spreads fit a 2x window; x crosses slabs.
-FACE_BLOCK = {0: 256, 1: 256, 2: 256}   # axis -> Bk
-FACE_WIN = {0: 3, 1: 2, 2: 2}           # axis -> win_mult
 LINK_BLOCK = 256                        # down/up tile links
 CORR_CAP = 256                          # exact out-of-window pairs per spec
 
@@ -67,7 +57,7 @@ class TileLevel(NamedTuple):
     keys: jnp.ndarray              # (B, T) sorted tile keys, sentinel-padded
     num: jnp.ndarray               # (B,)
     occ: jnp.ndarray               # (B, T, t^d) bool active cells
-    faces: Tuple[GatherSpec, ...]  # 6 specs (-x,+x,-y,+y,-z,+z)
+    halo: Halo26Spec               # direct 3^d-1 neighbor maps (ops/halo.py)
 
 
 class TileDownLink(NamedTuple):
@@ -94,8 +84,7 @@ def graph_overflows(graph: "TileGraph") -> jnp.ndarray:
     exposable via TrainVal debug mode."""
     tot = jnp.zeros((), jnp.int32)
     for lev in graph.levels:
-        for spec in lev.faces:
-            tot = tot + spec.overflow.sum()
+        tot = tot + lev.halo.overflow.sum()
     for link in graph.links:
         for spec in link.children:
             tot = tot + spec.overflow.sum()
@@ -126,7 +115,7 @@ def tile_capacity_at(cfg: URESNetConfig, level: int) -> int:
 # ---------------------------------------------------------------------------
 
 def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
-                     block: int, corr_cap: int = CORR_CAP,
+                     block: int, corr_cap: int = None,
                      win_mult: int = 3) -> GatherSpec:
     """Plan a windowed permutation (per event; vmapped by callers).
 
@@ -134,7 +123,11 @@ def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
     rows starting at the block's smallest valid index (clamped). win_mult
     must exceed the typical idx spread per block: 3 for near-monotone maps
     (faces), larger when idx is a scaled map (tile links expand indices by
-    2^dim, so their spread per block is ~(2^dim * len_ratio) * block)."""
+    2^dim, so their spread per block is ~(2^dim * len_ratio) * block).
+    corr_cap reads module-level CORR_CAP when None (late-bound so tests can
+    monkeypatch it to force overflow)."""
+    if corr_cap is None:
+        corr_cap = CORR_CAP
     N = idx.shape[0]
     Bk = min(block, N)
     while N % Bk:
@@ -174,38 +167,6 @@ def _sort_unique(keys: jnp.ndarray, cap: int):
     return uniq, num
 
 
-def close_tile_keys(active_keys: jnp.ndarray, grid: int, dim: int,
-                    cap_out: int):
-    """Relay closure for the 3-pass face halo (see tile_conv.halo_extend):
-    for every diagonally-adjacent active pair (A, A+δ) add the pass-order
-    prefix projections A+(δx,0,0), A+(δx,δy,0) so face-only exchange reaches
-    the diagonal. Relays carry zero occupancy; they only forward halo data.
-    """
-    coords = decode(active_keys, grid, dim)
-    valid = active_keys != SENTINEL
-    cands = [active_keys]
-    offsets = [tuple(o) for o in
-               np.stack(np.meshgrid(*([np.arange(-1, 2)] * dim),
-                                    indexing="ij"), -1).reshape(-1, dim)]
-    for off in offsets:
-        nz = sum(1 for o in off if o)
-        if nz <= 1:
-            continue
-        nkey = encode(coords + jnp.asarray(off, jnp.int32), valid, grid)
-        _, pair = lookup(active_keys, nkey)
-        relays = {(off[0],) + (0,) * (dim - 1)}
-        if dim == 3:
-            relays.add((off[0], off[1], 0))
-        for p in relays:
-            if not any(p) or p == off:
-                continue
-            cands.append(encode(coords + jnp.asarray(p, jnp.int32),
-                                valid & pair, grid))
-    allk = jnp.sort(jnp.concatenate(cands))
-    _, closed, num, _ = _dedup_sorted(allk, cap_out)
-    return closed, num
-
-
 def _cell_index(coords: jnp.ndarray, t: int, dim: int) -> jnp.ndarray:
     cell = coords[..., 0] & (t - 1)
     for d in range(1, dim):
@@ -219,9 +180,9 @@ def _shift_bits(t: int) -> int:
 
 def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
                      merge_mode: str):
-    """Per event: bucket voxels into (closure-extended) tiles; merge
-    duplicates per cell. Returns (tile_keys, num, feats (Tcap, t^d),
-    occ (Tcap, t^d), vox_tile (Vin,), vox_cell (Vin,))."""
+    """Per event: bucket voxels into occupied tiles; merge duplicates per
+    cell. Returns (tile_keys, num, feats (Tcap, t^d), occ (Tcap, t^d),
+    vox_tile (Vin,), vox_cell (Vin,))."""
     Vin, dim = coords.shape
     cells = t ** dim
     rows = jnp.arange(Vin)
@@ -229,8 +190,7 @@ def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
     G = spatial_size // t
     tcoords = coords >> _shift_bits(t)
     tkey = encode(tcoords, valid, G)
-    active, _ = _sort_unique(tkey, Tcap)
-    uniq, num = close_tile_keys(active, G, dim, Tcap)
+    uniq, num = _sort_unique(tkey, Tcap)
 
     vt, vt_ok = lookup(uniq, tkey)
     vox_tile = jnp.where(vt_ok, vt, Tcap).astype(jnp.int32)
@@ -262,31 +222,6 @@ def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
             vox_tile, vox_cell)
 
 
-def _face_specs(keys: jnp.ndarray, grid: int, dim: int):
-    """One GatherSpec per axis, ± neighbors stacked (minus half first).
-
-    Tile capacities are multiples of the block size, so the two halves align
-    to block boundaries and never share a window."""
-    coords = decode(keys, grid, dim)
-    valid = keys != SENTINEL
-    T = keys.shape[0]
-    specs = []
-    for axis in range(dim):
-        parts = []
-        for half, f in enumerate((2 * axis, 2 * axis + 1)):
-            off = FACE_OFFSETS[f][:dim]
-            nkey = encode(coords + jnp.asarray(off), valid, grid)
-            idx, ok = lookup(keys, nkey)
-            # the conv-time source stacks [minus-sources | plus-sources]:
-            # the plus half indexes the second T rows
-            parts.append(((idx + half * T).astype(jnp.int32), ok))
-        idx2 = jnp.concatenate([p[0] for p in parts])
-        ok2 = jnp.concatenate([p[1] for p in parts])
-        specs.append(make_gather_spec(idx2, ok2, 2 * T, FACE_BLOCK[axis],
-                                      win_mult=FACE_WIN[axis]))
-    return tuple(specs)
-
-
 def _fold_occ_downsample(occ, t, dim):
     T = occ.shape[0]
     if dim == 3:
@@ -297,15 +232,14 @@ def _fold_occ_downsample(occ, t, dim):
 
 
 def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
-    """Per event: coarse keys (occupied parents + closure), child gather
-    specs (coarse <- fine, one per corner) and the parent spec
+    """Per event: coarse keys (occupied parents), child gather specs
+    (coarse <- fine, one per corner) and the parent spec
     (fine <- coarse corner view)."""
     fc = decode(keys_f, grid_f, dim)
     valid = keys_f != SENTINEL
     grid_c = grid_f // 2
     pk_occ = encode(fc >> 1, valid & occ_any, grid_c)
-    active_c, _ = _sort_unique(pk_occ, Tc)
-    keys_c, num_c = close_tile_keys(active_c, grid_c, dim, Tc)
+    keys_c, num_c = _sort_unique(pk_occ, Tc)
 
     cc = decode(keys_c, grid_c, dim)
     valid_c = keys_c != SENTINEL
@@ -357,8 +291,8 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
     for l in range(nlev):
         t_l = tile_size_at(cfg, l)
         G_l = cfg.level_spatial_size(l) // t_l
-        faces = jax.vmap(lambda k: _face_specs(k, G_l, dim))(keys)
-        levels.append(TileLevel(keys, num, occ, faces))
+        halo = jax.vmap(lambda k: build_halo26(k, G_l, dim))(keys)
+        levels.append(TileLevel(keys, num, occ, halo))
         if l < nlev - 1:
             t_c = tile_size_at(cfg, l + 1)
             Tc = tile_capacity_at(cfg, l + 1)
