@@ -149,13 +149,16 @@ def test_halo_extend_neighbors():
     assert (ext[0, 1, :, 0] == 0).all()           # no y neighbors
 
 
-@pytest.mark.parametrize("spatial,strides,tile", [(16, 3, 4), (8, 3, 4)])
-def test_engine_equivalence(spatial, strides, tile):
+@pytest.mark.parametrize("spatial,strides,tile,dim",
+                         [(16, 3, 4, 3), (8, 3, 4, 3), (32, 3, 4, 2)])
+def test_engine_equivalence(spatial, strides, tile, dim):
     """Gather and tile engines share params and must agree on logits.
-    (8,3,4) exercises the shrinking-tile identity link at the deep level."""
+    (8,3,4) exercises the shrinking-tile identity link at the deep level;
+    the last case pins the 2D path (SURVEY.md §2.2: the reference supports
+    data_dim 2 and 3)."""
     from uresnet_pytorch_tpu.models import construct
     cfg_g = _cfg("gather", spatial_size=spatial, uresnet_num_strides=strides,
-                 tile_size=tile)
+                 tile_size=tile, data_dim=dim)
     cfg_t = cfg_g.replace(sparse_engine="tile")
     blob = _blob(cfg_g, mean_voxels=80)
     args = (jnp.asarray(blob["coords"]), jnp.asarray(blob["values"]),

@@ -36,7 +36,10 @@ from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode, encode, lookup
 # ignores windows and is exact by construction
 HALO_BLOCK = 128       # output rows per window block (kernel VMEM sizing)
 HALO_WIN_MULT = 4      # window rows = mult * block
-HALO_CORR_CAP = 1024   # exact out-of-window pairs per event (all offsets)
+# exact out-of-window pairs per event (all offsets) — these become kernel
+# patch rows, so the cap scales the one-hot K-dim; overflow beyond it is
+# dropped-and-counted (surfaced in TrainVal metrics)
+HALO_CORR_CAP = 128
 
 
 @lru_cache(maxsize=None)

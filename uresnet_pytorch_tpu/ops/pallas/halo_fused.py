@@ -5,14 +5,21 @@ ops/halo.py) on TPU. Per grid step (event b, tile block n):
 
   1. DMA ONE window of source tile rows (win x cells*C) into VMEM — sorted
      tile keys make all 3^d-1 neighbor row indices near-monotone, so one
-     shared window covers every offset (out-of-window stragglers go through
-     the spec's exact correction list, applied by the wrapper in XLA).
-  2. Pack the window's slab columns (face/edge/corner source cells per
-     offset) into a contiguous buffer: static lane-run copies (VPU).
-  3. One (Bk, win) x (win, S_k*C) one-hot matmul per offset (MXU) gathers
-     each neighbor slab; results are written straight into the lex-ordered
-     halo-extended output block — conv-ready, no XLA relayout.
-  4. The tile's own cells stream in as a regular blocked operand.
+     shared window covers every offset.
+  2. Out-of-window stragglers ride PATCH ROWS: the wrapper gathers the
+     correction list's source rows into a tail appendix of the (flat,
+     lane-dense) padded input, and their window-local index becomes
+     win + patch_slot — the one-hot domain is simply [window | patch], so
+     corrections cost nothing extra beyond P more K-rows in the dots.
+     (An XLA-side scatter into the (.., cells, C) view would force a
+     C-minor HBM materialization that XLA lane-pads up to 8x — measured
+     19 GB at bench scale. Everything HBM-side here stays flat.)
+  3. Pack the [window|patch] slab columns (face/edge/corner source cells
+     per offset) into a contiguous buffer: static lane-run copies (VPU).
+  4. One (Bk, win+P) x (win+P, S_k*C) one-hot matmul per offset (MXU)
+     gathers each neighbor slab; results are written straight into the
+     lex-ordered halo-extended output block — conv-ready, no XLA relayout.
+  5. The tile's own cells stream in as a regular blocked operand.
 
 The backward kernel is the SAME machinery with offsets negated (gather =
 scatter transpose under offset symmetry, see ops/halo.py): it reads the
@@ -77,32 +84,40 @@ def _plans(t: int, dim: int):
         body_plan, pk
 
 
-def _fwd_kernel(t, dim, C, win, Bk, starts_ref, lidx_ref, xblk_ref, xany_ref,
-                out_ref, win_scr, packed, sem):
+def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, xblk_ref,
+                xany_ref, out_ref, win_scr, packed, sem, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
     pack_plan, slab_start, slab_len, ext_plan, body_plan, _ = _plans(t, dim)
     K = len(halo_offsets(dim))
     dt = out_ref.dtype
+    W = win + P
 
     st = pl.multiple_of(starts_ref[b, n], 8)
     dma = pltpu.make_async_copy(
-        xany_ref.at[b, pl.ds(st, win), :], win_scr, sem)
+        xany_ref.at[b, pl.ds(st, win), :], win_scr.at[pl.ds(0, win), :], sem)
     dma.start()
+    if P:  # patch rows live at the fixed tail of the padded source
+        pdma = pltpu.make_async_copy(
+            xany_ref.at[b, pl.ds(Tsrc + win, P), :],
+            win_scr.at[pl.ds(win, P), :], psem)
+        pdma.start()
 
-    # body placement happens while the window DMA is in flight
+    # body placement happens while the DMAs are in flight
     xb = xblk_ref[0]                                   # (Bk, cells*C)
     for (c0, ln, e0) in body_plan:
         out_ref[0, :, e0 * C:(e0 + ln) * C] = xb[:, c0 * C:(c0 + ln) * C]
 
     dma.wait()
-    w = win_scr[:, :]                                  # (win, cells*C)
+    if P:
+        pdma.wait()
+    w = win_scr[:, :]                                  # (W, cells*C)
     for (s0, ln, p0) in pack_plan:
         packed[:, p0 * C:(p0 + ln) * C] = w[:, s0 * C:(s0 + ln) * C]
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, W), 1)
     for k in range(K):
-        local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where not in-band
+        local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
         oh = (local == pos).astype(dt)
         p0, S = slab_start[k], slab_len[k]
         res = jnp.dot(oh, packed[:, p0 * C:(p0 + S) * C],
@@ -111,8 +126,8 @@ def _fwd_kernel(t, dim, C, win, Bk, starts_ref, lidx_ref, xblk_ref, xany_ref,
             out_ref[0, :, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
 
 
-def _bwd_kernel(t, dim, C, win, Bk, starts_ref, lidx_ref, gblk_ref, gany_ref,
-                out_ref, win_scr, packed, acc, sem):
+def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, gblk_ref,
+                gany_ref, out_ref, win_scr, packed, acc, sem, psem):
     """Transpose: d_x block = body cotangent + per-offset slab cotangents
     gathered from the NEGATED offset's neighbor rows."""
     b = pl.program_id(0)
@@ -120,11 +135,17 @@ def _bwd_kernel(t, dim, C, win, Bk, starts_ref, lidx_ref, gblk_ref, gany_ref,
     pack_plan, slab_start, slab_len, ext_plan, body_plan, _ = _plans(t, dim)
     K = len(halo_offsets(dim))
     dt = out_ref.dtype
+    W = win + P
 
     st = pl.multiple_of(starts_ref[b, n], 8)
     dma = pltpu.make_async_copy(
-        gany_ref.at[b, pl.ds(st, win), :], win_scr, sem)
+        gany_ref.at[b, pl.ds(st, win), :], win_scr.at[pl.ds(0, win), :], sem)
     dma.start()
+    if P:
+        pdma = pltpu.make_async_copy(
+            gany_ref.at[b, pl.ds(Tsrc + win, P), :],
+            win_scr.at[pl.ds(win, P), :], psem)
+        pdma.start()
 
     # init accumulator with the body cotangent
     gb = gblk_ref[0]                                   # (Bk, ecells*C)
@@ -132,15 +153,17 @@ def _bwd_kernel(t, dim, C, win, Bk, starts_ref, lidx_ref, gblk_ref, gany_ref,
         acc[:, c0 * C:(c0 + ln) * C] = gb[:, e0 * C:(e0 + ln) * C]
 
     dma.wait()
-    w = win_scr[:, :]                                  # (win, ecells*C)
-    # pack the EXT slab columns of the cotangent window
+    if P:
+        pdma.wait()
+    w = win_scr[:, :]                                  # (W, ecells*C)
+    # pack the EXT slab columns of the cotangent window+patch
     for k in range(K):
         p0 = slab_start[k]
         for (sp, ln, e0) in ext_plan[k]:
             packed[:, (p0 + sp) * C:(p0 + sp + ln) * C] = \
                 w[:, e0 * C:(e0 + ln) * C]
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, W), 1)
     for k in range(K):
         rk = K - 1 - k                                 # index of -delta
         local = lidx_ref[0, 0, rk, :].reshape(Bk, 1)
@@ -161,19 +184,52 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _local_idx(spec):
-    """(B, nb, K, Bk) int32: window-local source row per offset, -1 where
-    not executable in-window (kernel one-hot yields a zero row)."""
+def _local_idx(spec, win):
+    """(B, nb, K, Bk) int32: [window|patch]-local source row per offset
+    pair, -1 where no pair (kernel one-hot yields a zero row). Correction
+    pairs resolve to win + patch_slot — the patch rows the wrapper appends
+    after the window padding."""
     B, K, T = spec.idx.shape
     nb = spec.starts.shape[1]
     Bk = T // nb
+    P = spec.corr_src.shape[1]
     local = spec.idx - jnp.repeat(spec.starts, Bk, axis=1)[:, None, :]
-    local = jnp.where(spec.inband, local, -1)
+    if P:
+        slot = jnp.arange(P, dtype=jnp.int32)
+        flat_pos = jnp.where(spec.corr_ok,
+                             spec.corr_off * T + spec.corr_dst, K * T)
+        patch_of = jax.vmap(
+            lambda fp: jnp.full((K * T,), -1, jnp.int32)
+            .at[fp].set(slot, mode="drop"))(flat_pos).reshape(B, K, T)
+        local = jnp.where(spec.inband, local,
+                          jnp.where(patch_of >= 0, win + patch_of, -1))
+    else:
+        local = jnp.where(spec.inband, local, -1)
     return jnp.transpose(local.reshape(B, K, nb, Bk), (0, 2, 1, 3))
 
 
-# VMEM budget for (window + packed) scratch; C is chunked to fit
-_SCRATCH_BUDGET = 12 * 1024 * 1024
+def _with_patch_rows(flat, spec, win):
+    """[rows | win zeros | patch rows]: append the correction-source rows to
+    the flat (B, T, lanes) array so the kernel's one-hot can reach them at
+    fixed offsets. Everything stays lane-dense."""
+    B, T, lanes = flat.shape
+    P = spec.corr_src.shape[1]
+    pad = jnp.zeros((B, win, lanes), flat.dtype)
+    if not P:
+        return jnp.concatenate([flat, pad], axis=1)
+    rows = jnp.where(spec.corr_ok, spec.corr_src, T)
+    patch = jax.vmap(lambda xx, rr: jnp.take(
+        xx, rr, axis=0, mode="fill", fill_value=0))(flat, rows)
+    return jnp.concatenate([flat, pad, patch], axis=1)
+
+
+# VMEM budget for everything the kernel holds per grid step: window+packed
+# scratch PLUS the auto-double-buffered in/out blocks. The pallas_call asks
+# for a raised vmem ceiling (_VMEM_LIMIT) since the 16 MB default leaves no
+# room for the window scratch; C is chunked to keep within budget, with
+# headroom for Mosaic's one-hot/result temps.
+_SCRATCH_BUDGET = 24 * 1024 * 1024
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _run_chunked(fn, x, C, per_c_bytes):
@@ -195,7 +251,12 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
     win = spec.window.shape[-1]
     _, _, _, _, _, packc = _plans(t, dim)
     itemsize = np.dtype(x.dtype).itemsize
-    per_c = (win * cells + win * packc) * itemsize
+    Bk0 = T // spec.starts.shape[1]
+    W = win + spec.corr_src.shape[1]
+    per_c = (W * (cells + packc)
+             + 2 * Bk0 * (cells + ecells)) * itemsize
+
+    P = spec.corr_src.shape[1]
 
     def run(xc):
         Cc = xc.shape[-1]
@@ -205,9 +266,10 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
         elanes = ecells * Cc
         lanes_p = _round_up(lanes, 128)
         elanes_p = _round_up(elanes, 128)
-        xf = xc.reshape(B, T, lanes)
-        xpad = jnp.pad(xf, ((0, 0), (0, win), (0, lanes_p - lanes)))
-        lidx = _local_idx(spec)
+        xf = jnp.pad(xc.reshape(B, T, lanes),
+                     ((0, 0), (0, 0), (0, lanes_p - lanes)))
+        xpad = _with_patch_rows(xf, spec, win)
+        lidx = _local_idx(spec, win)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, nb),
@@ -220,21 +282,23 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
             out_specs=pl.BlockSpec((1, Bk, elanes_p),
                                    lambda b, n, st: (b, n, 0)),
             scratch_shapes=[
-                pltpu.VMEM((win, lanes_p), xc.dtype),
-                pltpu.VMEM((win, _round_up(packc * Cc, 128)), xc.dtype),
+                pltpu.VMEM((win + P, lanes_p), xc.dtype),
+                pltpu.VMEM((win + P, _round_up(packc * Cc, 128)), xc.dtype),
+                pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel, t, dim, Cc, win, Bk),
+            functools.partial(_fwd_kernel, t, dim, Cc, win, P, T, Bk),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, T, elanes_p), xc.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
         )(spec.starts, lidx, xpad, xpad)
         return out[:, :, :elanes].reshape(B, T, ecells, Cc)
 
-    ext = _run_chunked(run, x, C, per_c)
-    return _apply_corrections(ext, x, spec, t, dim)
+    return _run_chunked(run, x, C, per_c)
 
 
 def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
@@ -246,7 +310,12 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
     win = spec.window.shape[-1]
     _, _, _, _, _, packc = _plans(t, dim)
     itemsize = np.dtype(g.dtype).itemsize
-    per_c = (win * ecells + win * packc + 0) * itemsize
+    Bk0 = T // spec.starts.shape[1]
+    W = win + spec.corr_src.shape[1]
+    per_c = (W * (ecells + packc)
+             + Bk0 * (3 * ecells + 3 * cells)) * itemsize
+
+    P = spec.corr_src.shape[1]
 
     def run(gc):
         Cc = gc.shape[-1]
@@ -256,9 +325,10 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
         lanes = cells * Cc
         elanes_p = _round_up(elanes, 128)
         lanes_p = _round_up(lanes, 128)
-        gf = gc.reshape(B, T, elanes)
-        gpad = jnp.pad(gf, ((0, 0), (0, win), (0, elanes_p - elanes)))
-        lidx = _local_idx(spec)
+        gf = jnp.pad(gc.reshape(B, T, elanes),
+                     ((0, 0), (0, 0), (0, elanes_p - elanes)))
+        gpad = _with_patch_rows(gf, spec, win)
+        lidx = _local_idx(spec, win)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, nb),
@@ -271,108 +341,21 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
             out_specs=pl.BlockSpec((1, Bk, lanes_p),
                                    lambda b, n, st: (b, n, 0)),
             scratch_shapes=[
-                pltpu.VMEM((win, elanes_p), gc.dtype),
-                pltpu.VMEM((win, _round_up(packc * Cc, 128)), gc.dtype),
+                pltpu.VMEM((win + P, elanes_p), gc.dtype),
+                pltpu.VMEM((win + P, _round_up(packc * Cc, 128)), gc.dtype),
                 pltpu.VMEM((Bk, lanes_p), gc.dtype),
+                pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_bwd_kernel, t, dim, Cc, win, Bk),
+            functools.partial(_bwd_kernel, t, dim, Cc, win, P, T, Bk),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, T, lanes_p), gc.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
         )(spec.starts, lidx, gpad, gpad)
         return out[:, :, :lanes].reshape(B, T, cells, Cc)
 
-    d_x = _run_chunked(run, g, C, per_c)
-    return _apply_corrections_T(d_x, g, spec, t, dim)
-
-
-# ---------------------------------------------------------------------------
-# exact correction lists (out-of-window pairs), applied in XLA
-# ---------------------------------------------------------------------------
-
-@lru_cache(maxsize=None)
-def _cell_tables_np(t: int, dim: int):
-    """(K, Smax) src/ext cell tables, -1 padded (NumPy: lru_cache must never
-    hold traced jnp values — see jax UnexpectedTracerError)."""
-    offs = halo_offsets(dim)
-    smax = max(len(slab_cells(o, t)[0]) for o in offs)
-    src = -np.ones((len(offs), smax), np.int32)
-    ext = -np.ones((len(offs), smax), np.int32)
-    for k, off in enumerate(offs):
-        e, s = slab_cells(off, t)
-        src[k, :len(s)] = s
-        ext[k, :len(e)] = e
-    return src, ext
-
-
-def _cell_tables(t: int, dim: int):
-    src, ext = _cell_tables_np(t, dim)
-    return jnp.asarray(src), jnp.asarray(ext)
-
-
-def _apply_corrections(ext, x, spec, t, dim):
-    """ext[dst, ecells(off)] = x[src, scells(off)] for each correction."""
-    B, T, cells, C = x.shape
-    P = spec.corr_src.shape[1]
-    if P == 0:
-        return ext
-    srct, extt = _cell_tables(t, dim)
-    smax = srct.shape[1]
-    rows = jnp.where(spec.corr_ok, spec.corr_src, T)
-    xrows = jax.vmap(lambda xx, rr: jnp.take(
-        xx.reshape(T, -1), rr, axis=0, mode="fill", fill_value=0))(
-        x, rows)                                       # (B, P, cells*C)
-    scell = srct[spec.corr_off]                        # (B, P, smax)
-    ecell = extt[spec.corr_off]
-    cell_ok = (scell >= 0) & spec.corr_ok[..., None]
-    gcol = jnp.where(cell_ok, scell, 0)
-    vals = jax.vmap(jax.vmap(
-        lambda row, cc: jnp.take(row.reshape(cells, C), cc, axis=0)))(
-        xrows, gcol)                                   # (B, P, smax, C)
-    vals = vals * cell_ok[..., None].astype(vals.dtype)
-    ecells_n = ext.shape[2]
-    flat_pos = jnp.where(cell_ok,
-                         spec.corr_dst[..., None] * ecells_n + ecell,
-                         T * ecells_n)
-    extf = ext.reshape(B, T * ecells_n, C)
-    extf = jax.vmap(lambda e, p, v: e.at[p.reshape(-1)].set(
-        v.reshape(-1, C), mode="drop"))(extf, flat_pos, vals)
-    return extf.reshape(B, T, ecells_n, C)
-
-
-def _apply_corrections_T(d_x, g, spec, t, dim):
-    """Backward corrections. The backward kernel's slab-k gather for row r
-    is predicated on inband[K-1-k, r], so the pairs it drops are exactly the
-    forward correction entries (off=m, dst=r, src=j) read with the offset
-    NEGATED: d_x[dst, scells(K-1-m)] += g[src, ecells(K-1-m)]. Each (ok)
-    neighbor pair is thus covered exactly once between kernel and list."""
-    B, T, ecells_n, C = g.shape
-    P = spec.corr_src.shape[1]
-    if P == 0:
-        return d_x
-    cells = d_x.shape[2]
-    srct, extt = _cell_tables(t, dim)
-    K = srct.shape[0]
-    off_rev = K - 1 - spec.corr_off
-    rows = jnp.where(spec.corr_ok, spec.corr_src, T)
-    grows = jax.vmap(lambda gg, rr: jnp.take(
-        gg.reshape(T, -1), rr, axis=0, mode="fill", fill_value=0))(
-        g, rows)                                       # (B, P, ecells*C)
-    scell = srct[off_rev]
-    ecell = extt[off_rev]
-    cell_ok = (scell >= 0) & spec.corr_ok[..., None]
-    gcol = jnp.where(cell_ok, ecell, 0)
-    vals = jax.vmap(jax.vmap(
-        lambda row, cc: jnp.take(row.reshape(ecells_n, C), cc, axis=0)))(
-        grows, gcol)
-    vals = vals * cell_ok[..., None].astype(vals.dtype)
-    flat_pos = jnp.where(cell_ok,
-                         spec.corr_dst[..., None] * cells + scell,
-                         T * cells)
-    dxf = d_x.reshape(B, T * cells, C)
-    dxf = jax.vmap(lambda e, p, v: e.at[p.reshape(-1)].add(
-        v.reshape(-1, C), mode="drop"))(dxf, flat_pos, vals)
-    return dxf.reshape(B, T, cells, C)
+    return _run_chunked(run, g, C, per_c)
