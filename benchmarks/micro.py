@@ -25,35 +25,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(fn, args, iters=64, warmup=True):
-    """Median per-iteration time of fn(*args) via jitted fori_loop chaining.
+def slope_time(fn, args, iters=24, warmup=True):
+    """Per-iteration seconds of fn(*args), measured as the slope between an
+    n=1 and an n=iters jitted fori_loop run (cancels the ~25 ms tunnel
+    dispatch+fetch overhead).
 
-    fn must return something array-like whose first element depends on all
-    the work. We re-feed a scalar perturbation to defeat CSE."""
+    CRITICAL: the loop must carry the ARRAYS themselves (each iteration's
+    inputs = previous inputs + tiny function-of-output). A scalar-eps
+    perturbation is NOT enough: XLA splits linear ops like conv(x + eps)
+    into a hoisted conv(x) plus scalar terms, and the whole loop measures
+    nothing (bench.py uses the same array-carry recipe)."""
+    flat, treedef = jax.tree_util.tree_flatten(args)
+    is_float = [jnp.issubdtype(x.dtype, jnp.floating) for x in flat]
 
     @jax.jit
-    def loop(eps, *a):
+    def loop(n, *flat_args):
         def body(i, carry):
-            eps = carry
-            out = fn(*jax.tree_util.tree_map(
-                lambda x: x + eps.astype(x.dtype) if jnp.issubdtype(
-                    x.dtype, jnp.floating) else x, a))
+            fl = list(carry)
+            out = fn(*jax.tree_util.tree_unflatten(treedef, fl))
             leaves = [l for l in jax.tree_util.tree_leaves(out)
                       if jnp.issubdtype(l.dtype, jnp.floating)]
-            s = sum(jnp.sum(l[(0,) * (l.ndim - 1)][..., :1].astype(jnp.float32))
-                    for l in leaves)
-            return (s * 1e-30).astype(eps.dtype)
-        return jax.lax.fori_loop(0, iters, body, eps)
+            s = sum(jnp.sum(l[(0,) * (l.ndim - 1)][..., :1]
+                            .astype(jnp.float32)) for l in leaves) * 1e-30
+            fl = [x + s.astype(x.dtype) if f else x
+                  for x, f in zip(fl, is_float)]
+            return tuple(fl)
+        final = jax.lax.fori_loop(0, n, body, tuple(flat_args))
+        ff = [x for x, f in zip(final, is_float) if f][0]
+        return jnp.sum(ff[(0,) * (ff.ndim - 1)][..., :1].astype(jnp.float32))
 
-    eps = jnp.zeros((), jnp.float32)
     if warmup:
-        float(loop(eps, *args))  # compile + one run
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(loop(eps, *args))
-        ts.append((time.perf_counter() - t0) / iters)
-    return min(ts)
+        float(loop(1, *flat))  # compile + warm
+    times = {}
+    for n in (1, iters):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(loop(n, *flat))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return max(times[iters] - times[1], 1e-9) / (iters - 1)
 
 
 def report(name, t, useful_bytes=None, flops=None):

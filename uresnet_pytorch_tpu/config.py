@@ -48,7 +48,11 @@ class URESNetConfig:
     sparse_engine: str = "tile"         # {tile, gather}: tiled-dense MXU engine
     #                                     vs row-gather oracle/fallback
     tile_size: int = 4                  # tile edge t (power of two)
-    tile_occupancy: float = 3.0         # capacity divisor: tiles ~= voxels/this
+    # capacity divisor: tile capacity = level voxel capacity / this.
+    # Measured on synthetic LArTPC tracks at 512^3/t=4: 4.8-6.1 voxels per
+    # occupied tile, so 4.5 leaves ~1.2-1.8x headroom (was 3.0 when relay
+    # closure inflated tile sets; spills are counted, see ops/tile_graph.py)
+    tile_occupancy: float = 4.5
     min_tiles: int = 64                 # floor on per-level tile capacity
 
     # ---- io (reference: --io-type/-io etc.) ----

@@ -71,9 +71,15 @@ def lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
     """Resolve query keys against a sorted (sentinel-padded) key array.
 
     Returns (idx, found): idx in [0, V) (garbage where not found), found bool.
+
+    method='sort': the default binary-search lowering is a log(V)-trip while
+    loop of full-array gathers — measured as ~65% of an entire forward step
+    on TPU (profile_step.py). TPU sorts are fast, and our query arrays are
+    themselves near-sorted (neighbor keys of sorted keys), so the
+    concatenate-and-sort lowering wins by >10x.
     """
     V = sorted_keys.shape[0]
-    idx = jnp.searchsorted(sorted_keys, queries)
+    idx = jnp.searchsorted(sorted_keys, queries, method="sort")
     idx_c = jnp.clip(idx, 0, V - 1)
     found = (sorted_keys[idx_c] == queries) & (queries != SENTINEL)
     return idx_c, found

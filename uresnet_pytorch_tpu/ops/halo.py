@@ -35,7 +35,11 @@ from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode, encode, lookup
 # defaults for the windowed execution (Pallas kernel); the XLA reference
 # ignores windows and is exact by construction
 HALO_BLOCK = 128       # output rows per window block (kernel VMEM sizing)
-HALO_WIN_MULT = 4      # window rows = mult * block
+# window rows = mult * block, anchored PER OFFSET: every offset's neighbor
+# map is monotone (sorted keys + constant offset preserve order), so each
+# offset's sources for a block of Bk rows span ~Bk rows + density jitter —
+# 2x covers it; stragglers go through the correction/patch list
+HALO_WIN_MULT = 2
 # exact out-of-window pairs per event (all offsets) — these become kernel
 # patch rows, so the cap scales the one-hot K-dim; overflow beyond it is
 # dropped-and-counted (surfaced in TrainVal metrics)
@@ -100,8 +104,8 @@ class Halo26Spec(NamedTuple):
     B axis added by vmap in tile_graph.build_tile_graph)."""
     idx: jnp.ndarray       # (K, T) int32 neighbor row per offset
     ok: jnp.ndarray        # (K, T) bool neighbor exists
-    starts: jnp.ndarray    # (nb,) int32 shared window start per block
-    inband: jnp.ndarray    # (K, T) bool ok AND within the block window
+    starts: jnp.ndarray    # (K, nb) int32 per-offset window start per block
+    inband: jnp.ndarray    # (K, T) bool ok AND within that offset's window
     corr_src: jnp.ndarray  # (P,) int32 source rows (out-of-window pairs)
     corr_dst: jnp.ndarray  # (P,) int32 dest rows
     corr_off: jnp.ndarray  # (P,) int32 offset index k
@@ -144,13 +148,14 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
         Bk //= 2
     nb = T // Bk
     win = min(win_mult * Bk, max(8, ((T + 7) // 8) * 8))
-    # window anchor: smallest valid neighbor row in the block (clamped)
+    # per-offset window anchor: smallest valid neighbor row in the block
+    # (each offset map is monotone, so its block sources are contiguous-ish)
     cand = jnp.where(ok, idx, T + win).reshape(K, nb, Bk)
-    starts = jnp.min(cand, axis=(0, 2))
+    starts = jnp.min(cand, axis=2)                      # (K, nb)
     starts = jnp.clip(starts, 0, max(T - 1, 0))
     starts = ((starts // 8) * 8).astype(jnp.int32)     # sublane-aligned DMA
 
-    local = idx - jnp.repeat(starts, Bk)[None, :]
+    local = idx - jnp.repeat(starts, Bk, axis=1)
     inband = ok & (local >= 0) & (local < win)
     bad = (ok & ~inband).reshape(-1)                    # (K*T,)
     pos = jnp.cumsum(bad) - 1

@@ -1,29 +1,31 @@
 """Pallas kernel: direct 26-neighbor tile halo in one HBM pass.
 
 Replaces the 3-gather + 3-concat halo pipeline (and its XLA reference,
-ops/halo.py) on TPU. Per grid step (event b, tile block n):
+ops/halo.py) on TPU. The wrapper first PRE-SLICES the source into its slab
+lanes: XS[:, :, pk_k*C:(pk_k+S_k)*C] holds the face/edge/corner source
+cells of offset k (one fused lane-concat pass in XLA, everything flat and
+lane-dense — C-minor materializations get lane-padded up to 8x by XLA's
+layouts and must never touch HBM). Then, per grid step (event b, tile
+block n):
 
-  1. DMA ONE window of source tile rows (win x cells*C) into VMEM — sorted
-     tile keys make all 3^d-1 neighbor row indices near-monotone, so one
-     shared window covers every offset.
-  2. Out-of-window stragglers ride PATCH ROWS: the wrapper gathers the
-     correction list's source rows into a tail appendix of the (flat,
-     lane-dense) padded input, and their window-local index becomes
-     win + patch_slot — the one-hot domain is simply [window | patch], so
-     corrections cost nothing extra beyond P more K-rows in the dots.
-     (An XLA-side scatter into the (.., cells, C) view would force a
-     C-minor HBM materialization that XLA lane-pads up to 8x — measured
-     19 GB at bench scale. Everything HBM-side here stays flat.)
-  3. Pack the [window|patch] slab columns (face/edge/corner source cells
-     per offset) into a contiguous buffer: static lane-run copies (VPU).
-  4. One (Bk, win+P) x (win+P, S_k*C) one-hot matmul per offset (MXU)
+  1. 3^d-1 window DMAs, one per offset, each (win x S_k*C): offset k's
+     window reads XS rows [starts[k,n], +win) at its own lane range.
+     Every offset's neighbor map is MONOTONE (sorted keys + constant
+     offset), so a ~2x block window per offset covers its sources — far
+     cheaper than one shared window spanning every offset's shift, since
+     one-hot gather FLOPs scale with window height.
+  2. Out-of-window stragglers ride PATCH ROWS: the correction list's
+     source rows are appended to XS; one extra DMA brings all P of them,
+     and their one-hot index is win + patch_slot.
+  3. One (Bk, win+P) x (win+P, S_k*C) one-hot matmul per offset (MXU)
      gathers each neighbor slab; results are written straight into the
-     lex-ordered halo-extended output block — conv-ready, no XLA relayout.
-  5. The tile's own cells stream in as a regular blocked operand.
+     lex-ordered halo-extended output block — conv-ready, flat.
+  4. The tile's own cells stream in as a regular blocked operand.
 
 The backward kernel is the SAME machinery with offsets negated (gather =
-scatter transpose under offset symmetry, see ops/halo.py): it reads the
-cotangent's slab columns and ACCUMULATES into the source block.
+scatter transpose under offset symmetry, see ops/halo.py): slab k's window
+reads the cotangent's slab-k lanes at the NEGATED offset's starts, and the
+result ACCUMULATES into the source block.
 
 This is the TPU-native replacement for SparseConvNet's fused CUDA
 gather-GEMM-scatter hot path (SURVEY.md §2.13, expected SCN/CUDA/*.cu).
@@ -58,17 +60,19 @@ def _runs(seq):
 
 @lru_cache(maxsize=None)
 def _plans(t: int, dim: int):
-    """Static copy/dot plans for the kernel, in CELL units (scaled by C at
-    trace time).
+    """Static geometry plans, in CELL units (scaled by C at trace time).
 
-    pack_plan: (src_cell, n_cells, packed_cell) — window -> packed buffer
-    slab_start[k]: packed-cell offset of offset k's slab
-    slab_len[k]: slab cell count
-    ext_plan[k]: (slab_pos, n_cells, ext_cell) — dot result -> output block
-    body_plan: (body_cell, n_cells, ext_cell) — body operand -> output block
+    pack_plan: (src_cell, n_cells, packed_cell) — x -> slab-lane preslice
+    epack_plan: (ext_cell, n_cells, packed_cell) — g -> slab-lane preslice
+    slab_start[k]/slab_len[k]: packed-cell offset/size of offset k's slab
+    ext_plan[k]: (slab_pos, n_cells, ext_cell) — dot result -> ext block
+    src_plan[k]: (slab_pos, n_cells, src_cell) — dot result -> d_x block
+    body_plan: (body_cell, n_cells, ext_cell)
+    packc: total packed cells
     """
     offs = halo_offsets(dim)
-    pack_plan, slab_start, slab_len, ext_plan = [], [], [], []
+    pack_plan, epack_plan = [], []
+    slab_start, slab_len, ext_plan, src_plan = [], [], [], []
     pk = 0
     for off in offs:
         ecells, scells = slab_cells(off, t)
@@ -76,107 +80,111 @@ def _plans(t: int, dim: int):
         slab_len.append(len(scells))
         for (v, n, p) in _runs(scells):
             pack_plan.append((v, n, pk + p))
+        for (v, n, p) in _runs(ecells):
+            epack_plan.append((v, n, pk + p))
         ext_plan.append([(p, n, v) for (v, n, p) in _runs(ecells)])
+        src_plan.append([(p, n, v) for (v, n, p) in _runs(scells)])
         pk += len(scells)
     bcells = body_cells(t, dim)
     body_plan = [(p, n, v) for (v, n, p) in _runs(bcells)]
-    return pack_plan, tuple(slab_start), tuple(slab_len), ext_plan, \
-        body_plan, pk
+    return (pack_plan, epack_plan, tuple(slab_start), tuple(slab_len),
+            ext_plan, src_plan, body_plan, pk)
 
 
 def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, xblk_ref,
-                xany_ref, out_ref, win_scr, packed, sem, psem):
+                xs_ref, out_ref, win_scr, sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    pack_plan, slab_start, slab_len, ext_plan, body_plan, _ = _plans(t, dim)
+    (_, _, slab_start, slab_len, ext_plan, _, body_plan, packc) = \
+        _plans(t, dim)
+    lane_off, lane_w, _ = _lane_layout(t, dim, C)
     K = len(halo_offsets(dim))
     dt = out_ref.dtype
     W = win + P
 
-    st = pl.multiple_of(starts_ref[b, n], 8)
-    dma = pltpu.make_async_copy(
-        xany_ref.at[b, pl.ds(st, win), :], win_scr.at[pl.ds(0, win), :], sem)
-    dma.start()
-    if P:  # patch rows live at the fixed tail of the padded source
-        pdma = pltpu.make_async_copy(
-            xany_ref.at[b, pl.ds(Tsrc + win, P), :],
-            win_scr.at[pl.ds(win, P), :], psem)
-        pdma.start()
+    dmas = []
+    for k in range(K):
+        o, w = lane_off[k], lane_w[k]
+        stk = pl.multiple_of(starts_ref[b, k, n], 8)
+        d = pltpu.make_async_copy(
+            xs_ref.at[b, pl.ds(stk, win), o:o + w],
+            win_scr.at[pl.ds(0, win), o:o + w], sems.at[k])
+        d.start()
+        dmas.append(d)
+    if P:  # patch rows: all slab lanes at once, fixed tail location
+        pd = pltpu.make_async_copy(
+            xs_ref.at[b, pl.ds(Tsrc + win, P), :],
+            win_scr.at[pl.ds(win, P), :], sems.at[K])
+        pd.start()
 
     # body placement happens while the DMAs are in flight
     xb = xblk_ref[0]                                   # (Bk, cells*C)
     for (c0, ln, e0) in body_plan:
         out_ref[0, :, e0 * C:(e0 + ln) * C] = xb[:, c0 * C:(c0 + ln) * C]
 
-    dma.wait()
     if P:
-        pdma.wait()
-    w = win_scr[:, :]                                  # (W, cells*C)
-    for (s0, ln, p0) in pack_plan:
-        packed[:, p0 * C:(p0 + ln) * C] = w[:, s0 * C:(s0 + ln) * C]
-
+        pd.wait()
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, W), 1)
     for k in range(K):
+        dmas[k].wait()
         local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
         oh = (local == pos).astype(dt)
-        p0, S = slab_start[k], slab_len[k]
-        res = jnp.dot(oh, packed[:, p0 * C:(p0 + S) * C],
+        o, w = lane_off[k], lane_w[k]
+        res = jnp.dot(oh, win_scr[:, o:o + w],
                       preferred_element_type=jnp.float32).astype(dt)
         for (sp, ln, e0) in ext_plan[k]:
             out_ref[0, :, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
 
 
 def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, gblk_ref,
-                gany_ref, out_ref, win_scr, packed, acc, sem, psem):
+                gs_ref, out_ref, win_scr, acc, sems):
     """Transpose: d_x block = body cotangent + per-offset slab cotangents
     gathered from the NEGATED offset's neighbor rows."""
     b = pl.program_id(0)
     n = pl.program_id(1)
-    pack_plan, slab_start, slab_len, ext_plan, body_plan, _ = _plans(t, dim)
+    (_, _, slab_start, slab_len, _, src_plan, body_plan, packc) = \
+        _plans(t, dim)
+    lane_off, lane_w, _ = _lane_layout(t, dim, C)
     K = len(halo_offsets(dim))
     dt = out_ref.dtype
     W = win + P
 
-    st = pl.multiple_of(starts_ref[b, n], 8)
-    dma = pltpu.make_async_copy(
-        gany_ref.at[b, pl.ds(st, win), :], win_scr.at[pl.ds(0, win), :], sem)
-    dma.start()
+    dmas = []
+    for k in range(K):
+        # slab k's cotangent lanes, windowed at the NEGATED offset's starts
+        rk = K - 1 - k
+        o, w = lane_off[k], lane_w[k]
+        stk = pl.multiple_of(starts_ref[b, rk, n], 8)
+        d = pltpu.make_async_copy(
+            gs_ref.at[b, pl.ds(stk, win), o:o + w],
+            win_scr.at[pl.ds(0, win), o:o + w], sems.at[k])
+        d.start()
+        dmas.append(d)
     if P:
-        pdma = pltpu.make_async_copy(
-            gany_ref.at[b, pl.ds(Tsrc + win, P), :],
-            win_scr.at[pl.ds(win, P), :], psem)
-        pdma.start()
+        pd = pltpu.make_async_copy(
+            gs_ref.at[b, pl.ds(Tsrc + win, P), :],
+            win_scr.at[pl.ds(win, P), :], sems.at[K])
+        pd.start()
 
     # init accumulator with the body cotangent
     gb = gblk_ref[0]                                   # (Bk, ecells*C)
     for (c0, ln, e0) in body_plan:
         acc[:, c0 * C:(c0 + ln) * C] = gb[:, e0 * C:(e0 + ln) * C]
 
-    dma.wait()
     if P:
-        pdma.wait()
-    w = win_scr[:, :]                                  # (W, ecells*C)
-    # pack the EXT slab columns of the cotangent window+patch
-    for k in range(K):
-        p0 = slab_start[k]
-        for (sp, ln, e0) in ext_plan[k]:
-            packed[:, (p0 + sp) * C:(p0 + sp + ln) * C] = \
-                w[:, e0 * C:(e0 + ln) * C]
-
+        pd.wait()
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, W), 1)
     for k in range(K):
-        rk = K - 1 - k                                 # index of -delta
+        dmas[k].wait()
+        rk = K - 1 - k
         local = lidx_ref[0, 0, rk, :].reshape(Bk, 1)
         oh = (local == pos).astype(dt)
-        p0, S = slab_start[k], slab_len[k]
-        res = jnp.dot(oh, packed[:, p0 * C:(p0 + S) * C],
+        o, w = lane_off[k], lane_w[k]
+        res = jnp.dot(oh, win_scr[:, o:o + w],
                       preferred_element_type=jnp.float32).astype(dt)
-        # accumulate into the SOURCE cells of offset k (runs shared with
-        # the forward pack plan for this offset)
-        _, scells = slab_cells(halo_offsets(dim)[k], t)
-        for (v, ln, p) in _runs(scells):
+        for (sp, ln, v) in src_plan[k]:
             acc[:, v * C:(v + ln) * C] = (
-                acc[:, v * C:(v + ln) * C] + res[:, p * C:(p + ln) * C])
+                acc[:, v * C:(v + ln) * C] + res[:, sp * C:(sp + ln) * C])
     out_ref[0] = acc[:, :]
 
 
@@ -184,16 +192,31 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _lane_layout(t: int, dim: int, C: int):
+    """Per-offset lane offsets/widths in the packed buffer, each 128-aligned
+    (Mosaic DMA lane slices must align to the lane tiling). Pad lanes hold
+    zeros, so dots over the padded width stay exact."""
+    offs = halo_offsets(dim)
+    lane_off, lane_w = [], []
+    pos = 0
+    for off in offs:
+        S = len(slab_cells(off, t)[0])
+        w = _round_up(S * C, 128)
+        lane_off.append(pos)
+        lane_w.append(w)
+        pos += w
+    return lane_off, lane_w, pos
+
+
 def _local_idx(spec, win):
     """(B, nb, K, Bk) int32: [window|patch]-local source row per offset
     pair, -1 where no pair (kernel one-hot yields a zero row). Correction
-    pairs resolve to win + patch_slot — the patch rows the wrapper appends
-    after the window padding."""
+    pairs resolve to win + patch_slot."""
     B, K, T = spec.idx.shape
-    nb = spec.starts.shape[1]
+    nb = spec.starts.shape[2]
     Bk = T // nb
     P = spec.corr_src.shape[1]
-    local = spec.idx - jnp.repeat(spec.starts, Bk, axis=1)[:, None, :]
+    local = spec.idx - jnp.repeat(spec.starts, Bk, axis=2)
     if P:
         slot = jnp.arange(P, dtype=jnp.int32)
         flat_pos = jnp.where(spec.corr_ok,
@@ -208,10 +231,28 @@ def _local_idx(spec, win):
     return jnp.transpose(local.reshape(B, K, nb, Bk), (0, 2, 1, 3))
 
 
+def _preslice(flat, C, t, dim, which):
+    """(B, T, cells*C) -> (B, T, packed lanes): concatenate each offset's
+    slab-lane runs, zero-padding every slab to a 128-aligned lane width
+    (one fused XLA copy pass; stays flat/lane-dense). which=1 selects the
+    SOURCE cells (forward), which=0 the EXT cells (backward cotangent)."""
+    B, T, _ = flat.shape
+    segs = []
+    for off in halo_offsets(dim):
+        cells = slab_cells(off, t)[which]
+        w = _round_up(len(cells) * C, 128)
+        used = 0
+        for (v, ln, _) in _runs(cells):
+            segs.append(flat[:, :, v * C:(v + ln) * C])
+            used += ln * C
+        if w > used:
+            segs.append(jnp.zeros((B, T, w - used), flat.dtype))
+    return jnp.concatenate(segs, axis=-1)
+
+
 def _with_patch_rows(flat, spec, win):
-    """[rows | win zeros | patch rows]: append the correction-source rows to
-    the flat (B, T, lanes) array so the kernel's one-hot can reach them at
-    fixed offsets. Everything stays lane-dense."""
+    """[rows | win zeros | patch rows]: append the correction-source rows so
+    the kernel's one-hot can reach them at fixed offsets."""
     B, T, lanes = flat.shape
     P = spec.corr_src.shape[1]
     pad = jnp.zeros((B, win, lanes), flat.dtype)
@@ -223,12 +264,11 @@ def _with_patch_rows(flat, spec, win):
     return jnp.concatenate([flat, pad, patch], axis=1)
 
 
-# VMEM budget for everything the kernel holds per grid step: window+packed
-# scratch PLUS the auto-double-buffered in/out blocks. The pallas_call asks
-# for a raised vmem ceiling (_VMEM_LIMIT) since the 16 MB default leaves no
-# room for the window scratch; C is chunked to keep within budget, with
-# headroom for Mosaic's one-hot/result temps.
-_SCRATCH_BUDGET = 24 * 1024 * 1024
+# VMEM budget per grid step: slab-lane window scratch + auto-double-buffered
+# in/out blocks; pallas asks for a raised ceiling (the 16 MB default scoped
+# limit leaves no room). C is chunked to fit, with headroom for Mosaic's
+# one-hot/result temps.
+_SCRATCH_BUDGET = 20 * 1024 * 1024
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
@@ -244,31 +284,31 @@ def _run_chunked(fn, x, C, per_c_bytes):
 
 def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
                interpret: bool = False) -> jnp.ndarray:
-    """x (B, T, t^dim, C) -> (B, T, (t+2)^dim, C), exact (corrections
-    applied in XLA on the kernel output)."""
+    """x (B, T, t^dim, C) -> (B, T, (t+2)^dim, C), exact."""
     B, T, cells, C = x.shape
     ecells = (t + 2) ** dim
     win = spec.window.shape[-1]
-    _, _, _, _, _, packc = _plans(t, dim)
     itemsize = np.dtype(x.dtype).itemsize
-    Bk0 = T // spec.starts.shape[1]
-    W = win + spec.corr_src.shape[1]
-    per_c = (W * (cells + packc)
-             + 2 * Bk0 * (cells + ecells)) * itemsize
-
+    Bk0 = T // spec.starts.shape[2]
     P = spec.corr_src.shape[1]
+    # per-channel packed width, estimated at a representative chunk size
+    packl = -(-_lane_layout(t, dim, 32)[2] // 32)
+    per_c = ((win + P) * packl
+             + 2 * Bk0 * (cells + ecells)) * itemsize
 
     def run(xc):
         Cc = xc.shape[-1]
-        nb = spec.starts.shape[1]
+        nb = spec.starts.shape[2]
         Bk = T // nb
         lanes = cells * Cc
         elanes = ecells * Cc
         lanes_p = _round_up(lanes, 128)
+        _, _, planes_p = _lane_layout(t, dim, Cc)
         elanes_p = _round_up(elanes, 128)
         xf = jnp.pad(xc.reshape(B, T, lanes),
                      ((0, 0), (0, 0), (0, lanes_p - lanes)))
-        xpad = _with_patch_rows(xf, spec, win)
+        xs = _preslice(xf, Cc, t, dim, 1)
+        xs = _with_patch_rows(xs, spec, win)
         lidx = _local_idx(spec, win)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -282,10 +322,8 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
             out_specs=pl.BlockSpec((1, Bk, elanes_p),
                                    lambda b, n, st: (b, n, 0)),
             scratch_shapes=[
-                pltpu.VMEM((win + P, lanes_p), xc.dtype),
-                pltpu.VMEM((win + P, _round_up(packc * Cc, 128)), xc.dtype),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((win + P, planes_p), xc.dtype),
+                pltpu.SemaphoreType.DMA((len(halo_offsets(dim)) + 1,)),
             ],
         )
         out = pl.pallas_call(
@@ -295,7 +333,7 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, lidx, xpad, xpad)
+        )(spec.starts, lidx, xf, xs)
         return out[:, :, :elanes].reshape(B, T, ecells, Cc)
 
     return _run_chunked(run, x, C, per_c)
@@ -308,26 +346,26 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
     B, T, ecells, C = g.shape
     cells = t ** dim
     win = spec.window.shape[-1]
-    _, _, _, _, _, packc = _plans(t, dim)
     itemsize = np.dtype(g.dtype).itemsize
-    Bk0 = T // spec.starts.shape[1]
-    W = win + spec.corr_src.shape[1]
-    per_c = (W * (ecells + packc)
-             + Bk0 * (3 * ecells + 3 * cells)) * itemsize
-
+    Bk0 = T // spec.starts.shape[2]
     P = spec.corr_src.shape[1]
+    packl = -(-_lane_layout(t, dim, 32)[2] // 32)
+    per_c = ((win + P) * packl
+             + Bk0 * (3 * ecells + 3 * cells)) * itemsize
 
     def run(gc):
         Cc = gc.shape[-1]
-        nb = spec.starts.shape[1]
+        nb = spec.starts.shape[2]
         Bk = T // nb
         elanes = ecells * Cc
         lanes = cells * Cc
         elanes_p = _round_up(elanes, 128)
         lanes_p = _round_up(lanes, 128)
+        _, _, planes_p = _lane_layout(t, dim, Cc)
         gf = jnp.pad(gc.reshape(B, T, elanes),
                      ((0, 0), (0, 0), (0, elanes_p - elanes)))
-        gpad = _with_patch_rows(gf, spec, win)
+        gs = _preslice(gf, Cc, t, dim, 0)
+        gs = _with_patch_rows(gs, spec, win)
         lidx = _local_idx(spec, win)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -341,11 +379,9 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
             out_specs=pl.BlockSpec((1, Bk, lanes_p),
                                    lambda b, n, st: (b, n, 0)),
             scratch_shapes=[
-                pltpu.VMEM((win + P, elanes_p), gc.dtype),
-                pltpu.VMEM((win + P, _round_up(packc * Cc, 128)), gc.dtype),
+                pltpu.VMEM((win + P, planes_p), gc.dtype),
                 pltpu.VMEM((Bk, lanes_p), gc.dtype),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((len(halo_offsets(dim)) + 1,)),
             ],
         )
         out = pl.pallas_call(
@@ -355,7 +391,7 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, lidx, gpad, gpad)
+        )(spec.starts, lidx, gf, gs)
         return out[:, :, :lanes].reshape(B, T, cells, Cc)
 
     return _run_chunked(run, g, C, per_c)
