@@ -70,7 +70,10 @@ def main():
     from uresnet_pytorch_tpu.iotools.synthetic import generate_event
 
     smoke = os.environ.get("BENCH_SMOKE") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", 2 if smoke else 8))
+    # batch 4 is the measured sweet spot: batch 8 exceeds ~HBM capacity and
+    # XLA's rematerializer starts re-running the halo kernels (sweep r2:
+    # b2=3.15, b4=3.28, b8=2.09 ev/s at equal per-event shapes)
+    batch = int(os.environ.get("BENCH_BATCH", 2 if smoke else 4))
     n_vox = int(os.environ.get("BENCH_VOXELS", 2000 if smoke else 100_000))
     spatial = 64 if smoke else 512
 

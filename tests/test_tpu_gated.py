@@ -1,0 +1,108 @@
+"""TPU-only correctness tests (VERDICT r1 #6): the CPU suite validates the
+Pallas kernels in interpret mode only; these run the COMPILED kernels on the
+real chip at production-like shapes and compare against the exact XLA
+reference. Auto-skipped unless jax runs on TPU.
+
+Run before benching:  python -m pytest tests/test_tpu_gated.py -q
+(from the raw axon environment — do NOT set JAX_PLATFORMS=cpu)."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    pytest.skip("CPU run requested", allow_module_level=True)
+try:
+    _ON_TPU = jax.default_backend() == "tpu"
+except Exception:
+    _ON_TPU = False
+if not _ON_TPU:
+    pytest.skip("needs a TPU backend", allow_module_level=True)
+
+import jax.numpy as jnp
+
+
+def _level_from_event(spatial, t, n_vox, seed=0):
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    from uresnet_pytorch_tpu.iotools.synthetic import generate_event
+    from uresnet_pytorch_tpu.ops.tile_graph import build_tile_graph
+    cfg = URESNetConfig(
+        model_name="uresnet_sparse", spatial_size=spatial,
+        uresnet_num_strides=2, max_voxels=max(256, 1 << int(
+            np.ceil(np.log2(n_vox * 1.3)))),
+        batch_size=2, compute_dtype="bfloat16")
+    B = 2
+    coords = np.zeros((B, cfg.max_voxels, 3), np.int32)
+    values = np.zeros((B, cfg.max_voxels), np.float32)
+    nv = np.zeros((B,), np.int32)
+    for b in range(B):
+        c, v, _ = generate_event(seed, b, spatial, 3, int(n_vox * 1.5))
+        n = min(len(c), cfg.max_voxels)
+        coords[b, :n], values[b, :n], nv[b] = c[:n], v[:n], n
+    graph = jax.jit(lambda c, v, n: build_tile_graph(c, v, n, cfg))(
+        coords, values, nv)
+    return graph.levels[0], cfg
+
+
+def test_halo_kernel_matches_xla_on_chip():
+    """Compiled halo26 forward+backward vs the exact XLA reference at a
+    mid-production shape (128^3, ~12k voxels)."""
+    from uresnet_pytorch_tpu.ops.halo import (
+        halo26_extend_xla, halo26_transpose_xla)
+    from uresnet_pytorch_tpu.ops.pallas.halo_fused import (
+        halo26_bwd, halo26_fwd)
+    lev, cfg = _level_from_event(128, 4, 12000)
+    spec = lev.halo
+    T = lev.keys.shape[1]
+    rng = np.random.default_rng(0)
+    C = 16
+    x = jnp.asarray(rng.normal(size=(2, T, 64, C)).astype(np.float32))
+    ref = np.asarray(jax.jit(
+        lambda a: halo26_extend_xla(a, spec, 4, 3))(x))
+    out = np.asarray(jax.jit(
+        lambda a: halo26_fwd(a, spec, 4, 3))(x))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    g = jnp.asarray(rng.normal(size=(2, T, 216, C)).astype(np.float32))
+    refb = np.asarray(jax.jit(
+        lambda a: halo26_transpose_xla(a, spec, 4, 3))(g))
+    outb = np.asarray(jax.jit(
+        lambda a: halo26_bwd(a, spec, 4, 3))(g))
+    np.testing.assert_allclose(outb, refb, atol=1e-4)
+    assert int(np.asarray(spec.overflow).sum()) == 0
+
+
+def test_engine_equivalence_on_chip():
+    """Tile engine (compiled Pallas path) vs row-gather oracle, on-chip."""
+    from uresnet_pytorch_tpu.iotools.synthetic import generate_event
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    from uresnet_pytorch_tpu.models import construct
+    cfg_g = URESNetConfig(
+        model_name="uresnet_sparse", sparse_engine="gather", num_class=5,
+        uresnet_filters=8, uresnet_num_strides=3, spatial_size=64,
+        data_dim=3, reps=1, max_voxels=4096, min_level_capacity=128,
+        batch_size=2, compute_dtype="float32")
+    cfg_t = cfg_g.replace(sparse_engine="tile")
+    B = 2
+    coords = np.zeros((B, cfg_g.max_voxels, 3), np.int32)
+    values = np.zeros((B, cfg_g.max_voxels), np.float32)
+    nv = np.zeros((B,), np.int32)
+    for b in range(B):
+        c, v, _ = generate_event(3, b, 64, 3, 3000)
+        n = min(len(c), cfg_g.max_voxels)
+        coords[b, :n], values[b, :n], nv[b] = c[:n], v[:n], n
+    args = (jnp.asarray(coords), jnp.asarray(values), jnp.asarray(nv))
+    mg = construct("uresnet_sparse")(cfg_g)
+    mt = construct("uresnet_sparse")(cfg_t)
+    vg = jax.jit(mg.init, static_argnames=("train",))(
+        jax.random.PRNGKey(1), *args, train=False)
+    out_g = np.asarray(jax.jit(mg.apply, static_argnames=("train",))(
+        vg, *args, train=False))
+    out_t = np.asarray(jax.jit(mt.apply, static_argnames=("train",))(
+        vg, *args, train=False))
+    for b in range(B):
+        n = int(nv[b])
+        np.testing.assert_allclose(out_t[b, :n], out_g[b, :n],
+                                   rtol=2e-3, atol=2e-3)

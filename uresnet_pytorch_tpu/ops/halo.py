@@ -42,8 +42,27 @@ HALO_BLOCK = 128       # output rows per window block (kernel VMEM sizing)
 HALO_WIN_MULT = 2
 # exact out-of-window pairs per event (all offsets) — these become kernel
 # patch rows, so the cap scales the one-hot K-dim; overflow beyond it is
-# dropped-and-counted (surfaced in TrainVal metrics)
-HALO_CORR_CAP = 128
+# dropped-and-counted (surfaced in TrainVal metrics). Measured worst case
+# on 512^3/1e5-voxel events at Bk=128/win=256: 180 pairs (the spread tail
+# is structural slab-boundary jumps; bigger windows don't drain it)
+HALO_CORR_CAP = 256
+
+
+def _flat_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum of a flat int array via a two-level decomposition:
+    XLA's single-axis cumsum over millions of elements lowers poorly on TPU
+    (profiled ~29 ms per call at 6M elements); a (rows, 512) lane cumsum +
+    a short row-offset scan is >10x faster."""
+    n = x.shape[0]
+    lane = 512
+    if n <= lane:
+        return jnp.cumsum(x)
+    rows = -(-n // lane)
+    xp = jnp.pad(x, (0, rows * lane - n)).reshape(rows, lane)
+    within = jnp.cumsum(xp, axis=1)
+    base = jnp.concatenate([jnp.zeros((1,), x.dtype),
+                            jnp.cumsum(within[:, -1])[:-1]])
+    return (within + base[:, None]).reshape(-1)[:n]
 
 
 @lru_cache(maxsize=None)
@@ -158,7 +177,7 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     local = idx - jnp.repeat(starts, Bk, axis=1)
     inband = ok & (local >= 0) & (local < win)
     bad = (ok & ~inband).reshape(-1)                    # (K*T,)
-    pos = jnp.cumsum(bad) - 1
+    pos = _flat_cumsum(bad.astype(jnp.int32)) - 1
     tgt = jnp.where(bad & (pos < corr_cap), pos, corr_cap)
     flat_idx = idx.reshape(-1)
     rows = jnp.tile(jnp.arange(T, dtype=jnp.int32), (K,))

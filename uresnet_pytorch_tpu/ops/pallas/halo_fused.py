@@ -111,19 +111,23 @@ def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, xblk_ref,
             win_scr.at[pl.ds(0, win), o:o + w], sems.at[k])
         d.start()
         dmas.append(d)
-    if P:  # patch rows: all slab lanes at once, fixed tail location
-        pd = pltpu.make_async_copy(
-            xs_ref.at[b, pl.ds(Tsrc + win, P), :],
-            win_scr.at[pl.ds(win, P), :], sems.at[K])
-        pd.start()
+    if P:
+        # patch rows live in the scratch tail PERSISTENTLY for the whole
+        # event: the TPU grid iterates n innermost, so fetch once at n == 0
+        # (window DMAs only ever write rows [0, win))
+        @pl.when(n == 0)
+        def _():
+            pd = pltpu.make_async_copy(
+                xs_ref.at[b, pl.ds(Tsrc + win, P), :],
+                win_scr.at[pl.ds(win, P), :], sems.at[K])
+            pd.start()
+            pd.wait()
 
     # body placement happens while the DMAs are in flight
     xb = xblk_ref[0]                                   # (Bk, cells*C)
     for (c0, ln, e0) in body_plan:
         out_ref[0, :, e0 * C:(e0 + ln) * C] = xb[:, c0 * C:(c0 + ln) * C]
 
-    if P:
-        pd.wait()
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, W), 1)
     for k in range(K):
         dmas[k].wait()
@@ -161,18 +165,19 @@ def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, gblk_ref,
         d.start()
         dmas.append(d)
     if P:
-        pd = pltpu.make_async_copy(
-            gs_ref.at[b, pl.ds(Tsrc + win, P), :],
-            win_scr.at[pl.ds(win, P), :], sems.at[K])
-        pd.start()
+        @pl.when(n == 0)
+        def _():
+            pd = pltpu.make_async_copy(
+                gs_ref.at[b, pl.ds(Tsrc + win, P), :],
+                win_scr.at[pl.ds(win, P), :], sems.at[K])
+            pd.start()
+            pd.wait()
 
     # init accumulator with the body cotangent
     gb = gblk_ref[0]                                   # (Bk, ecells*C)
     for (c0, ln, e0) in body_plan:
         acc[:, c0 * C:(c0 + ln) * C] = gb[:, e0 * C:(e0 + ln) * C]
 
-    if P:
-        pd.wait()
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, W), 1)
     for k in range(K):
         dmas[k].wait()
