@@ -82,6 +82,8 @@ def main():
         uresnet_num_strides=5, spatial_size=spatial, data_dim=3, reps=2,
         max_voxels=max(256, 1 << int(np.ceil(np.log2(n_vox * 1.3)))),
         capacity_factor=0.5, min_level_capacity=2048 if not smoke else 64,
+        tile_size=int(os.environ.get("BENCH_TILE", 4)),
+        tile_occupancy=float(os.environ.get("BENCH_TILE_OCC", 4.5)),
         batch_size=batch, compute_dtype="bfloat16")
 
     coords = np.zeros((batch, cfg.max_voxels, 3), np.int32)

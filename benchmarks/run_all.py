@@ -143,13 +143,37 @@ def config_5(smoke):
             "devices": len(jax.devices())}
 
 
+def config_6(smoke):
+    """Loader-only throughput (the reference's iotest mode, SURVEY.md §2.3)
+    — records the host-pipeline headroom over the device step (VERDICT r1
+    weak #8: the loader bound was unmeasured)."""
+    import tempfile
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    from uresnet_pytorch_tpu.iotools.h5_io import generate_h5_file
+    from uresnet_pytorch_tpu.main_funcs import iotest
+    n_vox = 2000 if smoke else 100_000
+    spatial = 64 if smoke else 512
+    path = os.path.join(tempfile.mkdtemp(), "iotest.h5")
+    generate_h5_file(path, n_events=8 if smoke else 32,
+                     spatial_size=spatial, data_dim=3, seed=1,
+                     mean_voxels=int(n_vox * 1.5),
+                     keys=("data", "label"))
+    cfg = URESNetConfig(
+        io_type="h5", input_file=(path,), batch_size=4,
+        spatial_size=spatial,
+        max_voxels=max(256, 1 << int(np.ceil(np.log2(n_vox * 1.3)))),
+        iteration=10 if smoke else 25, num_threads=2, prefetch_depth=4)
+    eps = iotest(cfg)
+    return {"metric": "iotest_h5_events_per_sec", "value": eps}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     runners = {1: config_1, 2: config_2, 3: config_3, 4: config_4,
-               5: config_5}
+               5: config_5, 6: config_6}
     results = []
     for c in (int(x) for x in args.configs.split(",")):
         t0 = time.time()

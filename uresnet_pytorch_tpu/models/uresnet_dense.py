@@ -74,10 +74,12 @@ class DenseUResNetCore(nn.Module):
         x = vol.astype(cfg.compute_dtype)
         x = nn.Conv(planes[0], (3,) * dim, use_bias=False,
                     dtype=cfg.compute_dtype, name="stem")(x)
-        # rematerialize residual blocks: dense 3D volumes at 128^3+ would
-        # otherwise hold every activation for the backward pass
-        # (jax.checkpoint trades FLOPs for HBM, SURVEY.md §7 design stance)
-        Block = nn.remat(ResBlock, static_argnums=(2,))
+        # rematerialize residual blocks in TRAINING only: dense 3D volumes
+        # at 128^3+ would otherwise hold every activation for the backward
+        # pass (jax.checkpoint trades FLOPs for HBM, SURVEY.md §7);
+        # inference pays nothing
+        Block = (nn.remat(ResBlock, static_argnums=(2,))
+                 if train else ResBlock)
         skips = []
         for level, width in enumerate(planes):
             for r in range(cfg.reps):

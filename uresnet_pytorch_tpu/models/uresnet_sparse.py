@@ -108,8 +108,10 @@ class UResNetSparse(nn.Module):
 
         masks = [mask_of(l) for l in range(nlev)]
 
-        # remat residual blocks (backward-pass memory; SURVEY.md §7)
-        Block = nn.remat(SparseResBlock, static_argnums=(4,))
+        # remat residual blocks in training only (backward-pass memory,
+        # SURVEY.md §7); inference pays nothing
+        Block = (nn.remat(SparseResBlock, static_argnums=(4,))
+                 if train else SparseResBlock)
         x = SMConv(cfg, planes[0], name="stem")(graph.feats0.astype(dt),
                                                 levels[0])
         skips = []

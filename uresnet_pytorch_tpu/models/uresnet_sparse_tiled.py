@@ -100,9 +100,12 @@ class UResNetSparseTiled(nn.Module):
 
         masks = [mask_of(l) for l in range(nlev)]
 
-        # remat residual blocks: the backward pass would otherwise hold every
-        # halo-extended activation (SURVEY.md §7 design stance)
-        Block = nn.remat(SparseResBlockTile, static_argnums=(4, 5))
+        # remat residual blocks in TRAINING only: the backward pass would
+        # otherwise hold every halo-extended activation (SURVEY.md §7).
+        # Inference must not pay for it — profiling showed the checkpoint
+        # regions re-running the halo kernels even in forward-only programs.
+        Block = (nn.remat(SparseResBlockTile, static_argnums=(4, 5))
+                 if train else SparseResBlockTile)
         x = SMConvTile(cfg, planes[0], name="stem")(
             graph.feats0.astype(dt), levels[0], tsz[0])
         skips = []
