@@ -1,20 +1,28 @@
 """Test harness config: run the suite on a virtual 8-device CPU mesh so
 multi-chip sharding paths are exercised without TPU hardware
-(SURVEY.md §4.4). Must set env before jax initialises."""
+(SURVEY.md §4.4). Must set env before jax initialises.
+
+Set URESNET_TPU_TESTS=1 to SKIP the CPU pinning and run the on-chip tests:
+    URESNET_TPU_TESTS=1 python -m pytest tests/test_tpu_gated.py -q
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_ON_CHIP = os.environ.get("URESNET_TPU_TESTS") == "1"
+if not _ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # This environment pre-imports jax at interpreter startup (axon sitecustomize)
 # with JAX_PLATFORMS=axon, so env vars alone are too late — force the config
 # before any backend initialises.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 # Single-core box: XLA compiles dominate test time. Persist compilations
 # across runs.

@@ -153,14 +153,13 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     coords = decode(keys, grid, dim)
     valid = keys != SENTINEL
 
-    idxs, oks = [], []
-    for off in offs:
-        nkey = encode(coords + jnp.asarray(off, jnp.int32), valid, grid)
-        i, ok = lookup(keys, nkey)
-        idxs.append(i.astype(jnp.int32))
-        oks.append(ok)
-    idx = jnp.stack(idxs)   # (K, T)
-    ok = jnp.stack(oks)
+    # all 3^d-1 neighbor keys resolved in ONE sort-based search (26 separate
+    # lookups each pay a concat+sort of 2T; one call sorts (K+1)T once)
+    nkeys = jnp.stack([
+        encode(coords + jnp.asarray(off, jnp.int32), valid, grid)
+        for off in offs])                              # (K, T)
+    idx, ok = lookup(keys, nkeys)
+    idx = idx.astype(jnp.int32)
 
     Bk = min(block, T)
     while T % Bk:

@@ -27,6 +27,12 @@ scatter transpose under offset symmetry, see ops/halo.py): slab k's window
 reads the cotangent's slab-k lanes at the NEGATED offset's starts, and the
 result ACCUMULATES into the source block.
 
+Precision note (measured on-chip): the MXU computes f32 dots via bf16
+passes, so a one-hot "gather" of f32 values rounds them to bf16 (~0.4%
+rel). The model's activations are bf16, for which row movement is
+bit-exact; feed the kernel f32 only where bf16 rounding is acceptable
+(tests/test_tpu_gated.py pins the bf16-exactness contract).
+
 This is the TPU-native replacement for SparseConvNet's fused CUDA
 gather-GEMM-scatter hot path (SURVEY.md §2.13, expected SCN/CUDA/*.cu).
 """
@@ -322,7 +328,7 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
                              lambda b, n, st: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st: (b, n, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, Bk, elanes_p),
                                    lambda b, n, st: (b, n, 0)),
@@ -379,7 +385,7 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
                              lambda b, n, st: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, elanes_p), lambda b, n, st: (b, n, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, Bk, lanes_p),
                                    lambda b, n, st: (b, n, 0)),
