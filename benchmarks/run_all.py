@@ -185,8 +185,19 @@ def main():
         results.append(r)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    # partial runs (--configs subset) MERGE into the existing table so a
+    # single-config refresh never discards the other rows
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {r.get("config"): r for r in json.load(f)}
+        except Exception:
+            merged = {}
+    for r in results:
+        merged[r["config"]] = r
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump([merged[k] for k in sorted(merged)], f, indent=1)
 
 
 if __name__ == "__main__":
