@@ -97,8 +97,8 @@ def _plans(t: int, dim: int):
             ext_plan, src_plan, body_plan, pk)
 
 
-def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, xblk_ref,
-                xs_ref, out_ref, win_scr, sems):
+def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
+                xblk_ref, xs_ref, out_ref, win_scr, sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
     (_, _, slab_start, slab_len, ext_plan, _, body_plan, packc) = \
@@ -134,20 +134,38 @@ def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, xblk_ref,
     for (c0, ln, e0) in body_plan:
         out_ref[0, :, e0 * C:(e0 + ln) * C] = xb[:, c0 * C:(c0 + ln) * C]
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, W), 1)
+    # window dots: K = win only; patch pairs (rare: a handful of blocks per
+    # event) are handled by a second, per-block-gated dot below so the
+    # common case never pays their K-rows
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     for k in range(K):
         dmas[k].wait()
         local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
         oh = (local == pos).astype(dt)
         o, w = lane_off[k], lane_w[k]
-        res = jnp.dot(oh, win_scr[:, o:o + w],
+        res = jnp.dot(oh, win_scr[pl.ds(0, win), o:o + w],
                       preferred_element_type=jnp.float32).astype(dt)
         for (sp, ln, e0) in ext_plan[k]:
             out_ref[0, :, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
 
+    if P:
+        @pl.when(hasp_ref[b, n] != 0)
+        def _():
+            posp = jax.lax.broadcasted_iota(jnp.int32, (Bk, P), 1) + win
+            for k in range(K):
+                local = lidx_ref[0, 0, k, :].reshape(Bk, 1)
+                ohp = (local == posp).astype(dt)
+                o, w = lane_off[k], lane_w[k]
+                resp = jnp.dot(ohp, win_scr[pl.ds(win, P), o:o + w],
+                               preferred_element_type=jnp.float32).astype(dt)
+                for (sp, ln, e0) in ext_plan[k]:
+                    out_ref[0, :, e0 * C:(e0 + ln) * C] = (
+                        out_ref[0, :, e0 * C:(e0 + ln) * C]
+                        + resp[:, sp * C:(sp + ln) * C])
 
-def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, gblk_ref,
-                gs_ref, out_ref, win_scr, acc, sems):
+
+def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
+                gblk_ref, gs_ref, out_ref, win_scr, acc, sems):
     """Transpose: d_x block = body cotangent + per-offset slab cotangents
     gathered from the NEGATED offset's neighbor rows."""
     b = pl.program_id(0)
@@ -184,18 +202,33 @@ def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, lidx_ref, gblk_ref,
     for (c0, ln, e0) in body_plan:
         acc[:, c0 * C:(c0 + ln) * C] = gb[:, e0 * C:(e0 + ln) * C]
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, W), 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     for k in range(K):
         dmas[k].wait()
         rk = K - 1 - k
         local = lidx_ref[0, 0, rk, :].reshape(Bk, 1)
         oh = (local == pos).astype(dt)
         o, w = lane_off[k], lane_w[k]
-        res = jnp.dot(oh, win_scr[:, o:o + w],
+        res = jnp.dot(oh, win_scr[pl.ds(0, win), o:o + w],
                       preferred_element_type=jnp.float32).astype(dt)
         for (sp, ln, v) in src_plan[k]:
             acc[:, v * C:(v + ln) * C] = (
                 acc[:, v * C:(v + ln) * C] + res[:, sp * C:(sp + ln) * C])
+    if P:
+        @pl.when(hasp_ref[b, n] != 0)
+        def _():
+            posp = jax.lax.broadcasted_iota(jnp.int32, (Bk, P), 1) + win
+            for k in range(K):
+                rk = K - 1 - k
+                local = lidx_ref[0, 0, rk, :].reshape(Bk, 1)
+                ohp = (local == posp).astype(dt)
+                o, w = lane_off[k], lane_w[k]
+                resp = jnp.dot(ohp, win_scr[pl.ds(win, P), o:o + w],
+                               preferred_element_type=jnp.float32).astype(dt)
+                for (sp, ln, v) in src_plan[k]:
+                    acc[:, v * C:(v + ln) * C] = (
+                        acc[:, v * C:(v + ln) * C]
+                        + resp[:, sp * C:(sp + ln) * C])
     out_ref[0] = acc[:, :]
 
 
@@ -261,6 +294,17 @@ def _preslice(flat, C, t, dim, which):
     return jnp.concatenate(segs, axis=-1)
 
 
+def _has_patch(spec):
+    """(B, nb) int32: 1 where the block contains any correction destination
+    (the kernel's patch dots run only for those blocks)."""
+    B, K, T = spec.idx.shape
+    nb = spec.starts.shape[2]
+    Bk = T // nb
+    blk = jnp.where(spec.corr_ok, spec.corr_dst // Bk, nb)
+    return jax.vmap(lambda bb: jnp.zeros((nb,), jnp.int32)
+                    .at[bb].set(1, mode="drop"))(blk)
+
+
 def _with_patch_rows(flat, spec, win):
     """[rows | win zeros | patch rows]: append the correction-source rows so
     the kernel's one-hot can reach them at fixed offsets."""
@@ -321,17 +365,18 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
         xs = _preslice(xf, Cc, t, dim, 1)
         xs = _with_patch_rows(xs, spec, win)
         lidx = _local_idx(spec, win)
+        hasp = _has_patch(spec)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                             lambda b, n, st: (b, n, 0, 0)),
-                pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st: (b, n, 0)),
+                             lambda b, n, st, hp: (b, n, 0, 0)),
+                pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, Bk, elanes_p),
-                                   lambda b, n, st: (b, n, 0)),
+                                   lambda b, n, st, hp: (b, n, 0)),
             scratch_shapes=[
                 pltpu.VMEM((win + P, planes_p), xc.dtype),
                 pltpu.SemaphoreType.DMA((len(halo_offsets(dim)) + 1,)),
@@ -344,7 +389,7 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, lidx, xf, xs)
+        )(spec.starts, hasp, lidx, xf, xs)
         return out[:, :, :elanes].reshape(B, T, ecells, Cc)
 
     return _run_chunked(run, x, C, per_c)
@@ -378,17 +423,18 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
         gs = _preslice(gf, Cc, t, dim, 0)
         gs = _with_patch_rows(gs, spec, win)
         lidx = _local_idx(spec, win)
+        hasp = _has_patch(spec)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                             lambda b, n, st: (b, n, 0, 0)),
-                pl.BlockSpec((1, Bk, elanes_p), lambda b, n, st: (b, n, 0)),
+                             lambda b, n, st, hp: (b, n, 0, 0)),
+                pl.BlockSpec((1, Bk, elanes_p), lambda b, n, st, hp: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, Bk, lanes_p),
-                                   lambda b, n, st: (b, n, 0)),
+                                   lambda b, n, st, hp: (b, n, 0)),
             scratch_shapes=[
                 pltpu.VMEM((win + P, planes_p), gc.dtype),
                 pltpu.VMEM((Bk, lanes_p), gc.dtype),
@@ -402,7 +448,7 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, lidx, gf, gs)
+        )(spec.starts, hasp, lidx, gf, gs)
         return out[:, :, :lanes].reshape(B, T, cells, Cc)
 
     return _run_chunked(run, g, C, per_c)
