@@ -232,6 +232,10 @@ def test_capacity_spill_keeps_loss_finite():
     for _ in range(2):
         m = tv.train_step(blob)
         assert np.isfinite(float(m["loss"])), "spill produced NaN loss"
+    # the spill must be COUNTED, not silent (ADVICE r2): dropped tiles and
+    # the voxels they carried are surfaced as TrainVal health metrics
+    assert int(m["tile_spill"]) > 0, "capacity overflow not counted"
+    assert int(m["vox_spill"]) > 0, "spilled voxels not counted"
 
 
 def test_tile_engine_trains():

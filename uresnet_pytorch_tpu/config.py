@@ -51,7 +51,9 @@ class URESNetConfig:
     # capacity divisor: tile capacity = level voxel capacity / this.
     # Measured on synthetic LArTPC tracks at 512^3/t=4: 4.8-6.1 voxels per
     # occupied tile, so 4.5 leaves ~1.2-1.8x headroom (was 3.0 when relay
-    # closure inflated tile sets; spills are counted, see ops/tile_graph.py)
+    # closure inflated tile sets). Tiles beyond capacity are dropped AND
+    # counted: graph_spills / the tile_spill+vox_spill TrainVal metrics
+    # surface them per step, main_funcs warns (ops/tile_graph.py).
     tile_occupancy: float = 4.5
     min_tiles: int = 64                 # floor on per-level tile capacity
 

@@ -42,7 +42,7 @@ class IOBase:
         self.truncated = 0
         self._epoch_order: Optional[np.ndarray] = None
         self._cursor = 0
-        self._rng = np.random.default_rng(cfg.seed)
+        self._epoch_counter = 0
         self._pred_writer = None
         # multi-host data parallelism: each process samples a disjoint
         # strided subset of every epoch (docs/distributed.md). Single-process
@@ -107,14 +107,23 @@ class IOBase:
         self._pred_writer.store_segment(index, blob, softmax)
 
     # -------- batching --------
-    def _next_indices(self, rng) -> np.ndarray:
+    def _next_indices(self) -> np.ndarray:
         bs = self.cfg.batch_size
         out = np.empty(bs, dtype=np.int64)
         for i in range(bs):
             if self._epoch_order is None or self._cursor >= len(self._epoch_order):
                 order = np.arange(self._num_entries)
                 if self.cfg.shuffle:
-                    rng.shuffle(order)
+                    # epoch permutation seeded by (seed, epoch) ONLY — never
+                    # by which producer thread happened to trigger the
+                    # reshuffle. Multi-host disjoint sharding requires every
+                    # process to compute the identical permutation
+                    # (docs/distributed.md); a thread-scheduling-dependent
+                    # RNG draw here would make shards overlap/miss samples.
+                    epoch_rng = np.random.default_rng(
+                        (self.cfg.seed, self._epoch_counter))
+                    epoch_rng.shuffle(order)
+                self._epoch_counter += 1
                 # process-strided shard of the epoch (no-op single-process)
                 shard = order[self.sampler_offset::self.sampler_stride]
                 order = shard if len(shard) else order
@@ -125,12 +134,10 @@ class IOBase:
         return out
 
     def _producer(self) -> None:
-        # one RNG per producer thread, seeded off the config seed
-        rng = np.random.default_rng(self._rng.integers(2 ** 62))
         while not self._stop.is_set():
             try:
                 with _sampler_lock:
-                    indices = self._next_indices(rng)
+                    indices = self._next_indices()
                 blob = self.collate(
                     [self._read_event(int(i)) for i in indices], indices)
             except Exception as e:  # surface errors to the consumer

@@ -57,11 +57,22 @@ def train(cfg: URESNetConfig, io=None) -> TrainVal:
                 loss = float(metrics["loss"])
                 acc = float(metrics["accuracy"])
                 overflow = int(metrics.get("overflow", 0))
+                tile_spill = int(metrics.get("tile_spill", 0))
+                vox_spill = int(metrics.get("vox_spill", 0))
                 if overflow:
                     print(f"WARNING: iter {it + 1}: {overflow} halo pairs "
                           "exceeded the correction capacity and were DROPPED "
                           "(corrupted halo values) — raise "
-                          "ops/tile_graph.CORR_CAP or reduce event density",
+                          "ops/halo.HALO_CORR_CAP (halo specs; the usual "
+                          "culprit) or ops/tile_graph.CORR_CAP (up/down link "
+                          "specs), or reduce event density",
+                          file=sys.stderr, flush=True)
+                if tile_spill:
+                    print(f"WARNING: iter {it + 1}: {tile_spill} tiles "
+                          f"({vox_spill} input voxels) exceeded the tile "
+                          "capacity and were DROPPED (zero logits for those "
+                          "voxels) — raise tile_occupancy headroom / "
+                          "capacity_factor or reduce event density",
                           file=sys.stderr, flush=True)
             tfwd = watch.stop("forward")
             tsave = 0.0
@@ -75,9 +86,11 @@ def train(cfg: URESNetConfig, io=None) -> TrainVal:
                 # 'overflow' appended as a TPU-engine health column
                 csv.record(
                     ["iter", "epoch", "loss", "accuracy", "titer", "tio",
-                     "tforward", "tbackward", "tsave", "lr", "overflow"],
+                     "tforward", "tbackward", "tsave", "lr", "overflow",
+                     "tile_spill"],
                     [it + 1, (it + 1) * epoch_per_iter, loss, acc, titer, tio,
-                     tfwd, 0.0, tsave, cfg.learning_rate, overflow])
+                     tfwd, 0.0, tsave, cfg.learning_rate, overflow,
+                     tile_spill])
                 csv.write()
                 csv.flush()
                 print(f"iter {it + 1}/{cfg.iteration} epoch "

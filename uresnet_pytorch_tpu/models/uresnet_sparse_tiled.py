@@ -19,7 +19,7 @@ from uresnet_pytorch_tpu.models.uresnet_sparse import BNAct, _conv_init
 from uresnet_pytorch_tpu.ops.tile_conv import (
     downsample_conv_tiled, submanifold_conv_tiled, upsample_conv_tiled)
 from uresnet_pytorch_tpu.ops.tile_graph import (
-    build_tile_graph, graph_overflows, tile_size_at)
+    build_tile_graph, graph_overflows, graph_spills, tile_size_at)
 
 
 def _bn_flat(cfg, name, module, y, mask, train):
@@ -85,6 +85,13 @@ class UResNetSparseTiled(nn.Module):
         # can report it per step (no-op unless the caller marks 'diag'
         # mutable). SURVEY.md §7 hard part 1: overflow detection.
         self.sow("diag", "overflow", graph_overflows(graph),
+                 reduce_fn=lambda a, b: b, init_fn=lambda: jnp.zeros((), jnp.int32))
+        # Tile-capacity spill = whole tiles (and their voxels) dropped with
+        # ZERO logits — distinct from correction overflow; surfaced the same
+        # way so main_funcs can warn per step.
+        self.sow("diag", "tile_spill", graph_spills(graph),
+                 reduce_fn=lambda a, b: b, init_fn=lambda: jnp.zeros((), jnp.int32))
+        self.sow("diag", "vox_spill", graph.vox_spill.sum(),
                  reduce_fn=lambda a, b: b, init_fn=lambda: jnp.zeros((), jnp.int32))
         levels, links = graph.levels, graph.links
         nlev = len(levels)

@@ -32,14 +32,18 @@ import numpy as np
 
 from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode, encode, lookup
 
+import os
+
 # defaults for the windowed execution (Pallas kernel); the XLA reference
-# ignores windows and is exact by construction
-HALO_BLOCK = 128       # output rows per window block (kernel VMEM sizing)
+# ignores windows and is exact by construction. Env overrides exist for
+# benchmark sweeps only (benchmarks/run_all.py documents results).
+HALO_BLOCK = int(os.environ.get("URESNET_HALO_BLOCK", 128))
+#                      output rows per window block (kernel VMEM sizing)
 # window rows = mult * block, anchored PER OFFSET: every offset's neighbor
 # map is monotone (sorted keys + constant offset preserve order), so each
 # offset's sources for a block of Bk rows span ~Bk rows + density jitter —
 # 2x covers it; stragglers go through the correction/patch list
-HALO_WIN_MULT = 2
+HALO_WIN_MULT = int(os.environ.get("URESNET_HALO_WIN_MULT", 2))
 # exact out-of-window pairs per event (all offsets) — these become kernel
 # patch rows, so the cap scales the one-hot K-dim; overflow beyond it is
 # dropped-and-counted (surfaced in TrainVal metrics). Measured worst case
@@ -120,7 +124,11 @@ def body_cells(t: int, dim: int) -> np.ndarray:
 
 class Halo26Spec(NamedTuple):
     """Per-level neighbor maps + windowed-execution plan (batched: leading
-    B axis added by vmap in tile_graph.build_tile_graph)."""
+    B axis added by vmap in tile_graph.build_tile_graph).
+
+    lidx/hasp are the kernel-ready forms, precomputed ONCE per level at
+    graph build (a level's spec feeds every conv of that level — deriving
+    them per conv call was measured XLA glue)."""
     idx: jnp.ndarray       # (K, T) int32 neighbor row per offset
     ok: jnp.ndarray        # (K, T) bool neighbor exists
     starts: jnp.ndarray    # (K, nb) int32 per-offset window start per block
@@ -131,6 +139,9 @@ class Halo26Spec(NamedTuple):
     corr_ok: jnp.ndarray   # (P,) bool
     overflow: jnp.ndarray  # () int32 pairs beyond the correction capacity
     window: jnp.ndarray    # (win,) int8 zeros — static window-size carrier
+    lidx: jnp.ndarray      # (nb, K, Bk) int32 [window|patch]-local source
+    #                        row per pair; -1 = no pair (one-hot zero row)
+    hasp: jnp.ndarray      # (nb,) int32 1 where the block has patch dests
 
 
 def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
@@ -188,8 +199,26 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     n_bad = jnp.sum(bad)
     corr_ok = jnp.arange(corr_cap) < jnp.minimum(n_bad, corr_cap)
     overflow = jnp.maximum(n_bad - corr_cap, 0).astype(jnp.int32)
+
+    # kernel-ready local indices: window-local where inband; patch slot
+    # (win + p) where the pair rides the correction list; -1 otherwise
+    local2 = local.reshape(K, T)
+    if corr_cap:
+        slot = jnp.arange(corr_cap, dtype=jnp.int32)
+        flat_pos = jnp.where(corr_ok, corr_off * T + corr_dst, K * T)
+        patch_of = jnp.full((K * T,), -1, jnp.int32).at[flat_pos].set(
+            slot, mode="drop").reshape(K, T)
+        lidx = jnp.where(inband, local2,
+                         jnp.where(patch_of >= 0, win + patch_of, -1))
+        blk = jnp.where(corr_ok, corr_dst // Bk, nb)
+        hasp = jnp.zeros((nb,), jnp.int32).at[blk].set(1, mode="drop")
+    else:
+        lidx = jnp.where(inband, local2, -1)
+        hasp = jnp.zeros((nb,), jnp.int32)
+    lidx = jnp.transpose(lidx.reshape(K, nb, Bk), (1, 0, 2))
     return Halo26Spec(idx, ok, starts, inband, corr_src, corr_dst, corr_off,
-                      corr_ok, overflow, jnp.zeros((win,), jnp.int8))
+                      corr_ok, overflow, jnp.zeros((win,), jnp.int8),
+                      lidx, hasp)
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +281,11 @@ def halo26_transpose_xla(g: jnp.ndarray, spec: Halo26Spec, t: int,
 def _halo_fwd_impl(x, spec, t, dim):
     use = USE_PALLAS
     if use is None:
-        use = jax.default_backend() == "tpu"
+        # auto: the Pallas one-hot gather is bit-exact for bf16 but rounds
+        # f32 values through the MXU's bf16 passes (~0.4% rel) — keep f32
+        # on the exact XLA path unless a caller forces the kernel
+        use = (jax.default_backend() == "tpu"
+               and x.dtype == jnp.bfloat16)
     if use:
         from uresnet_pytorch_tpu.ops.pallas.halo_fused import halo26_fwd
         return halo26_fwd(x, spec, t, dim)
@@ -262,7 +295,8 @@ def _halo_fwd_impl(x, spec, t, dim):
 def _halo_bwd_impl(g, spec, t, dim):
     use = USE_PALLAS
     if use is None:
-        use = jax.default_backend() == "tpu"
+        use = (jax.default_backend() == "tpu"
+               and g.dtype == jnp.bfloat16)
     if use:
         from uresnet_pytorch_tpu.ops.pallas.halo_fused import halo26_bwd
         return halo26_bwd(g, spec, t, dim)
@@ -272,11 +306,14 @@ def _halo_bwd_impl(g, spec, t, dim):
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def halo26_extend(x: jnp.ndarray, spec: Halo26Spec, t: int,
                   dim: int) -> jnp.ndarray:
-    """(B, T, t^dim, C) -> (B, T, (t+2)^dim, C) halo-extended tiles, exact.
+    """(B, T, t^dim, C) -> (B, T, (t+2)^dim, C) halo-extended tiles.
 
-    TPU: one Pallas kernel (window DMA + per-offset one-hot MXU gathers +
-    correction list). Elsewhere: the XLA row-gather reference. Backward is
-    the negated-offset gather (see module docstring)."""
+    Exact (bit-for-bit row movement) on every auto-dispatched path: the
+    TPU Pallas kernel handles bf16 (one-hot MXU gathers move bf16 rows
+    bit-exactly; pinned by tests/test_tpu_gated.py); f32 and CPU run the
+    XLA row-gather reference. Forcing USE_PALLAS=True with f32 inputs on
+    TPU rounds values to bf16 (~0.4% rel) — test-only. Backward is the
+    negated-offset gather (see module docstring)."""
     return _halo_fwd_impl(x, spec, t, dim)
 
 

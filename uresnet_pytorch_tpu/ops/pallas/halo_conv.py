@@ -1,0 +1,345 @@
+"""Pallas kernel: fused halo-gather + submanifold 3^d convolution.
+
+Round 2 ran the halo as one Pallas kernel but left the conv to XLA; the
+measured step profile showed ~460 ms of XLA glue per step (slab-lane
+preslice concat, flat->conv-layout reshape, output slices) around ~290 ms
+of kernels — the conv itself was nearly free. This kernel keeps the
+halo-extended tile block **in VMEM** and runs the convolution there,
+emitting conv-ready flat output in one HBM pass:
+
+  1. Same window-DMA + one-hot MXU gather machinery as halo_fused.py
+     (per-offset monotone windows, persistent patch rows, per-block-gated
+     corrections), but the halo-extended block lands in a VMEM scratch
+     instead of HBM.
+  2. The 3^d conv runs as x-line **Toeplitz dots**: for each output
+     row-group g = (o0[, o1]) over the tile's leading axes, the three
+     d0-slices of the ext scratch (each a contiguous lane range of
+     3^(dim-2)*(t+2)*C — the (o1..o1+2, a2, C) band of ext row o0+d0)
+     are dotted against banded weight blocks of shape (Kl, t*Cout) built
+     by `toeplitz_weights`. K = 3*(t+2)*C for dim=3 (full MXU), the
+     output group is a contiguous t*Cout lane range of the flat
+     (t^dim*Cout) tile row — no reshapes anywhere.
+  3. The x-axis Toeplitz band overcomputes by 2x FLOPs ((t+2) window vs
+     t+2-needed... the (a2, o2) band is (t+2) x t with 3 live diagonals),
+     a measured win against the deleted HBM round trip and glue.
+
+Backward: the adjoint of (global 3^d stencil restricted to the active
+tile set) is the same stencil with flipped weights on the same set, so
+**d_x runs through this same kernel** with `flip_weights(w)` and the
+unchanged Halo26Spec. d_W = ext(x)^T . g contracted per offset — phase 1
+recomputes ext via ops/halo.halo26_extend and contracts in XLA (27
+static-slice GEMMs, the standard weight-grad FLOPs).
+
+Replaces SparseConvNet's fused CUDA gather-GEMM-scatter (SURVEY.md §2.13,
+expected SCN/CUDA/*.cu) as one TPU kernel.
+
+Precision: in-kernel dots accumulate in f32 on the MXU from bf16 operands
+(same as XLA's conv emitter), but the accumulation ORDER differs from
+lax.conv, so fused-vs-oracle agreement is to bf16 rounding, not bitwise
+(tests pin tolerances; f32 mode agrees to ~1e-6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from uresnet_pytorch_tpu.ops.halo import halo_offsets
+from uresnet_pytorch_tpu.ops.pallas.halo_fused import (
+    _SCRATCH_BUDGET, _VMEM_LIMIT, _has_patch, _lane_layout, _local_idx,
+    _plans, _preslice, _round_up, _with_patch_rows)
+
+
+def flip_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3^d, Cin, Cout) -> (3^d, Cout, Cin): the adjoint stencil.
+
+    Reversing the lexicographic offset enumeration negates every offset
+    (including the center), and the per-offset (Cin, Cout) slice
+    transposes."""
+    return jnp.transpose(w[::-1], (0, 2, 1))
+
+
+def toeplitz_weights(w: jnp.ndarray, t: int, dim: int,
+                     dtype=None) -> jnp.ndarray:
+    """(3^dim, Cin, Cout) offset stack -> (3, Kl, t*Cout) banded blocks.
+
+    Block d0 maps the ext-scratch lane slice of row-group (o0+d0) onto the
+    t output x-positions: rows indexed by (d1, a2, ci) for dim=3 (by
+    (a1, ci) for dim=2), cols by (o_last, co); entry = w[d0, d1, a2-o, ...]
+    on the 3 live diagonals, 0 elsewhere."""
+    K, Cin, Cout = w.shape
+    assert K == 3 ** dim
+    if dtype is None:
+        dtype = w.dtype
+    e = t + 2
+    if dim == 3:
+        w3 = w.reshape(3, 3, 3, Cin, Cout)
+        wt = jnp.zeros((3, 3, e, Cin, t, Cout), dtype)
+        for d0 in range(3):
+            for d1 in range(3):
+                for dx in range(3):
+                    for o in range(t):
+                        wt = wt.at[d0, d1, o + dx, :, o, :].set(
+                            w3[d0, d1, dx].astype(dtype))
+        return wt.reshape(3, 3 * e * Cin, t * Cout)
+    if dim == 2:
+        w2 = w.reshape(3, 3, Cin, Cout)
+        wt = jnp.zeros((3, e, Cin, t, Cout), dtype)
+        for d0 in range(3):
+            for dx in range(3):
+                for o in range(t):
+                    wt = wt.at[d0, o + dx, :, o, :].set(
+                        w2[d0, dx].astype(dtype))
+        return wt.reshape(3, e * Cin, t * Cout)
+    raise ValueError(dim)
+
+
+def _out_groups(t: int, dim: int):
+    """Static (ext_lane_cell_offset_of_group_row0, out_lane_cell_offset)
+    per output row-group; lane offsets in CELL units (x C / Cout later).
+
+    dim=3: groups are (o0, o1); slice d0 starts at ext cell
+    ((o0+d0)*(t+2) + o1) * (t+2) and spans 3*(t+2) cells; output group
+    starts at out cell (o0*t + o1) * t, spanning t cells.
+    dim=2: groups are o0; slice d0 starts at (o0+d0)*(t+2), spans (t+2)."""
+    e = t + 2
+    groups = []
+    if dim == 3:
+        for o0 in range(t):
+            for o1 in range(t):
+                ext0 = [((o0 + d0) * e + o1) * e for d0 in range(3)]
+                groups.append((tuple(ext0), (o0 * t + o1) * t))
+        span = 3 * e
+    else:
+        for o0 in range(t):
+            ext0 = [(o0 + d0) * e for d0 in range(3)]
+            groups.append((tuple(ext0), o0 * t))
+        span = e
+    return groups, span
+
+
+def _fused_kernel(t, dim, C, Cout, win, P, Tsrc, Bk,
+                  starts_ref, hasp_ref, lidx_ref, xblk_ref, xs_ref, wt_ref,
+                  out_ref, win_scr, ext_scr, sems):
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    (_, _, _, _, ext_plan, _, body_plan, _) = _plans(t, dim)
+    lane_off, lane_w, _ = _lane_layout(t, dim, C)
+    K = len(halo_offsets(dim))
+    dt = out_ref.dtype
+
+    # ---- stage 1: build the halo-extended block in ext_scr ----
+    dmas = []
+    for k in range(K):
+        o, w = lane_off[k], lane_w[k]
+        stk = pl.multiple_of(starts_ref[b, k, n], 8)
+        d = pltpu.make_async_copy(
+            xs_ref.at[b, pl.ds(stk, win), o:o + w],
+            win_scr.at[pl.ds(0, win), o:o + w], sems.at[k])
+        d.start()
+        dmas.append(d)
+    if P:
+        @pl.when(n == 0)
+        def _():
+            pd = pltpu.make_async_copy(
+                xs_ref.at[b, pl.ds(Tsrc + win, P), :],
+                win_scr.at[pl.ds(win, P), :], sems.at[K])
+            pd.start()
+            pd.wait()
+
+    xb = xblk_ref[0]                                   # (Bk, cells*C)
+    for (c0, ln, e0) in body_plan:
+        ext_scr[:, e0 * C:(e0 + ln) * C] = xb[:, c0 * C:(c0 + ln) * C]
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
+    for k in range(K):
+        dmas[k].wait()
+        local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
+        oh = (local == pos).astype(dt)
+        o, w = lane_off[k], lane_w[k]
+        res = jnp.dot(oh, win_scr[pl.ds(0, win), o:o + w],
+                      preferred_element_type=jnp.float32).astype(dt)
+        for (sp, ln, e0) in ext_plan[k]:
+            ext_scr[:, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
+
+    if P:
+        @pl.when(hasp_ref[b, n] != 0)
+        def _():
+            posp = jax.lax.broadcasted_iota(jnp.int32, (Bk, P), 1) + win
+            for k in range(K):
+                local = lidx_ref[0, 0, k, :].reshape(Bk, 1)
+                ohp = (local == posp).astype(dt)
+                o, w = lane_off[k], lane_w[k]
+                resp = jnp.dot(ohp, win_scr[pl.ds(win, P), o:o + w],
+                               preferred_element_type=jnp.float32).astype(dt)
+                for (sp, ln, e0) in ext_plan[k]:
+                    ext_scr[:, e0 * C:(e0 + ln) * C] = (
+                        ext_scr[:, e0 * C:(e0 + ln) * C]
+                        + resp[:, sp * C:(sp + ln) * C])
+
+    # ---- stage 2: Toeplitz conv dots from ext_scr -> out_ref ----
+    groups, span = _out_groups(t, dim)
+    Kl = span * C
+    No = t * Cout
+    for (ext0s, oc) in groups:
+        acc = None
+        for d0 in range(3):
+            s = ext_scr[:, ext0s[d0] * C:ext0s[d0] * C + Kl]
+            prod = jnp.dot(s, wt_ref[d0],
+                           preferred_element_type=jnp.float32)
+            acc = prod if acc is None else acc + prod
+        out_ref[0, :, oc * Cout:oc * Cout + No] = acc.astype(dt)
+
+
+def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """x (B, T, t^dim, Cin), wt from toeplitz_weights ->
+    (B, T, t^dim, Cout): halo-extend + 3^dim submanifold conv, fused.
+
+    Cin is NOT chunked here (fused_halo_conv handles chunking by summing
+    per-chunk outputs); callers must keep the VMEM footprint in budget."""
+    B, T, cells, C = x.shape
+    ecells = (t + 2) ** dim
+    win = spec.window.shape[-1]
+    P = spec.corr_src.shape[1]
+    Cout = wt.shape[-1] // t
+    nb = spec.starts.shape[2]
+    Bk = T // nb
+    lanes = cells * C
+    olanes = cells * Cout
+    lanes_p = _round_up(lanes, 128)
+    olanes_p = _round_up(olanes, 128)
+    _, _, planes_p = _lane_layout(t, dim, C)
+    elanes_p = _round_up(ecells * C, 128)
+
+    xf = jnp.pad(x.reshape(B, T, lanes),
+                 ((0, 0), (0, 0), (0, lanes_p - lanes)))
+    xs = _preslice(xf, C, t, dim, 1)
+    xs = _with_patch_rows(xs, spec, win)
+    lidx = spec.lidx                  # precomputed at graph build
+    hasp = spec.hasp
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, lidx.shape[2], Bk),
+                         lambda b, n, st, hp: (b, n, 0, 0)),
+            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp: (b, n, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Bk, olanes_p),
+                               lambda b, n, st, hp: (b, n, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((win + P, planes_p), x.dtype),
+            pltpu.VMEM((Bk, elanes_p), x.dtype),
+            pltpu.SemaphoreType.DMA((len(halo_offsets(dim)) + 1,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, t, dim, C, Cout, win, P, T, Bk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(spec.starts, hasp, lidx, xf, xs, wt.astype(x.dtype))
+    return out[:, :, :olanes].reshape(B, T, cells, Cout)
+
+
+def _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize):
+    """Estimated VMEM bytes per input channel for chunk sizing."""
+    packl = -(-_lane_layout(t, dim, 32)[2] // 32)
+    ecells = (t + 2) ** dim
+    cells = t ** dim
+    span = (3 * (t + 2)) if dim == 3 else (t + 2)
+    wt_rows = 3 * span
+    return ((win + P) * packl            # window scratch
+            + Bk * ecells                # ext scratch
+            + 2 * Bk * cells             # in blocks (double-buffered)
+            + wt_rows * t * Cout // max(Cout, 1)  # weight (per-Cin rows)
+            ) * itemsize
+
+
+def _fused_impl(x, w, spec, t, dim, interpret=False):
+    """Chunk Cin when the VMEM estimate exceeds budget; per-chunk outputs
+    SUM (the conv contracts over Cin)."""
+    B, T, cells, C = x.shape
+    Cout = w.shape[-1]
+    itemsize = np.dtype(x.dtype).itemsize
+    Bk = T // spec.starts.shape[2]
+    P = spec.corr_src.shape[1]
+    win = spec.window.shape[-1]
+    per_c = _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize)
+    max_c = max(8, _SCRATCH_BUDGET // per_c)
+    if C <= max_c:
+        wt = toeplitz_weights(w, t, dim, x.dtype)
+        return halo_conv_fwd(x, wt, spec, t, dim, interpret=interpret)
+    nchunks = -(-C // max_c)
+    cc = -(-C // nchunks)
+    acc = None
+    w3 = w.reshape(3 ** dim, C, Cout)
+    for o in range(0, C, cc):
+        wt = toeplitz_weights(w3[:, o:o + cc, :], t, dim, x.dtype)
+        part = halo_conv_fwd(x[..., o:o + cc], wt, spec, t, dim,
+                             interpret=interpret).astype(jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc.astype(x.dtype)
+
+
+def _dw_recompute(x, g, spec, t, dim):
+    """d_W[delta] = ext(x)[., p+delta]^T @ g[., p] over all tiles/cells.
+
+    Recomputes the halo-extended block via the exact halo26_extend op
+    (Pallas on TPU) and contracts with 3^dim static slices — the standard
+    weight-grad FLOPs, one GEMM per offset."""
+    from uresnet_pytorch_tpu.ops.halo import halo26_extend
+    B, T, cells, C = x.shape
+    Cout = g.shape[-1]
+    e = t + 2
+    ext = halo26_extend(x, spec, t, dim)
+    ext = ext.reshape((B * T,) + (e,) * dim + (C,))
+    gf = g.reshape(B * T * cells, Cout)
+    dws = []
+    for k in range(3 ** dim):
+        tmp, dg = k, []
+        for _ in range(dim):
+            dg.append(tmp % 3)
+            tmp //= 3
+        dg = dg[::-1]
+        idx = (slice(None),) + tuple(
+            slice(d, d + t) for d in dg) + (slice(None),)
+        slab = ext[idx].reshape(B * T * cells, C)
+        dws.append(jnp.einsum("nc,nd->cd", slab.astype(jnp.float32),
+                              gf.astype(jnp.float32)))
+    return jnp.stack(dws)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_halo_conv(x: jnp.ndarray, w: jnp.ndarray, spec, t: int,
+                    dim: int) -> jnp.ndarray:
+    """Fused submanifold conv on halo'd tiles: x (B,T,t^dim,Cin),
+    w (3^dim,Cin,Cout) -> (B,T,t^dim,Cout). TPU-only (dispatchers fall
+    back to halo26_extend + lax.conv elsewhere)."""
+    return _fused_impl(x, w.astype(x.dtype), spec, t, dim)
+
+
+def _fhc_fwd(x, w, spec, t, dim):
+    return fused_halo_conv(x, w, spec, t, dim), (x, w, spec)
+
+
+def _fhc_bwd(t, dim, res, g):
+    x, w, spec = res
+    # adjoint data path: same fused kernel, flipped stencil, same spec
+    d_x = _fused_impl(g, flip_weights(w).astype(g.dtype), spec, t, dim)
+    d_w = _dw_recompute(x, g, spec, t, dim).astype(w.dtype)
+    d_spec = jax.tree_util.tree_map(
+        lambda v: np.zeros(v.shape, jax.dtypes.float0), spec)
+    return d_x, d_w, d_spec
+
+
+fused_halo_conv.defvjp(_fhc_fwd, _fhc_bwd)

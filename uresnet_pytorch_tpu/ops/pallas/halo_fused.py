@@ -364,8 +364,8 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
                      ((0, 0), (0, 0), (0, lanes_p - lanes)))
         xs = _preslice(xf, Cc, t, dim, 1)
         xs = _with_patch_rows(xs, spec, win)
-        lidx = _local_idx(spec, win)
-        hasp = _has_patch(spec)
+        lidx = spec.lidx              # precomputed at graph build
+        hasp = spec.hasp
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, nb),
@@ -422,8 +422,8 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
                      ((0, 0), (0, 0), (0, elanes_p - elanes)))
         gs = _preslice(gf, Cc, t, dim, 0)
         gs = _with_patch_rows(gs, spec, win)
-        lidx = _local_idx(spec, win)
-        hasp = _has_patch(spec)
+        lidx = spec.lidx              # precomputed at graph build
+        hasp = spec.hasp
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, nb),

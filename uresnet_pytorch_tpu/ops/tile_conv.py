@@ -26,6 +26,7 @@ occupancy so inactive cells hold exact zeros between layers.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -75,7 +76,10 @@ def _windowed_gather_xla(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
 def _wg_impl(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
     use = USE_PALLAS
     if use is None:
-        use = jax.default_backend() == "tpu"
+        # auto: Pallas moves bf16 rows bit-exactly; f32 would round through
+        # the MXU's bf16 passes, so it stays on the exact XLA path
+        use = (jax.default_backend() == "tpu"
+               and src.dtype == jnp.bfloat16)
     if use:
         from uresnet_pytorch_tpu.ops.pallas.windowed_gather import (
             gather_forward)
@@ -183,18 +187,36 @@ def fold_weights(w: jnp.ndarray, dim: int) -> jnp.ndarray:
 _CONV_DN = {3: ("NDHWC", "DHWIO", "NDHWC"), 2: ("NHWC", "HWIO", "NHWC")}
 
 
+# None = auto (fused Pallas kernel on TPU, XLA halo+conv elsewhere);
+# tests can force a path.
+USE_FUSED = None
+
+
 def submanifold_conv_tiled(x, occ, halo, t: int, dim: int, w) -> jnp.ndarray:
     """x (B,T,t^dim,Cin), occ (B,T,t^dim) -> (B,T,t^dim,Cout).
 
-    Halo-extend via the direct 3^dim-1 neighbor gather (ops/halo.py — one
-    Pallas kernel on TPU), then ONE 3^dim VALID conv on the extended tiles
-    (batch = B*T). XLA's conv at this shape runs near MXU peak (measured:
-    benchmarks/micro.py), so the halo gather is the entire cost."""
+    TPU: ONE fused Pallas kernel per conv — halo gather into VMEM +
+    in-kernel Toeplitz conv dots (ops/pallas/halo_conv.py); deletes the
+    round-2 ext HBM round trip and its XLA layout glue (measured ~460
+    ms/step). Elsewhere: halo-extend via the direct 3^dim-1 neighbor
+    gather (ops/halo.py) then ONE 3^dim VALID lax.conv on the extended
+    tiles — the exact oracle the kernel is validated against."""
     from uresnet_pytorch_tpu.ops.halo import halo26_extend
     dt = x.dtype
     B, T = x.shape[:2]
     Cin = x.shape[-1]
     Cout = w.shape[-1]
+    use = USE_FUSED
+    if use is None:
+        # auto: fused kernel for bf16 on TPU; f32 keeps the exact XLA
+        # oracle path (same policy as ops/halo.py — the kernel's one-hot
+        # gathers round f32 through the MXU's bf16 passes)
+        use = (jax.default_backend() == "tpu"
+               and x.dtype == jnp.bfloat16)
+    if use:
+        from uresnet_pytorch_tpu.ops.pallas.halo_conv import fused_halo_conv
+        out = fused_halo_conv(x, w.astype(dt), halo, t, dim)
+        return out * occ[..., None].astype(dt)
     ext = halo26_extend(x, halo, t, dim)
     xin = ext.reshape((B * T,) + (t + 2,) * dim + (Cin,))
     kernel = w.reshape((3,) * dim + (Cin, Cout)).astype(dt)
@@ -208,14 +230,8 @@ def submanifold_conv_tiled(x, occ, halo, t: int, dim: int, w) -> jnp.ndarray:
     return out * occ[..., None].astype(dt)
 
 
-def assemble_children(blocks: jnp.ndarray, children: Tuple[GatherSpec, ...],
-                      t_c: int, dim: int) -> jnp.ndarray:
-    """Per-fine-tile half-blocks (B, Tf, (t_c/2)^dim, C) -> coarse tiles
-    (B, Tc, t_c^dim, C): each corner pulls its child's block (gather-form —
-    no scatters anywhere in this engine)."""
-    if len(children) == 1:
-        # tile grid unchanged (shrinking tile edge): blocks ARE the tiles
-        return blocks
+def _assemble_impl(blocks: jnp.ndarray, children: Tuple[GatherSpec, ...],
+                   t_c: int, dim: int) -> jnp.ndarray:
     B, Tf, cells_h, C = blocks.shape
     th = t_c // 2
     flat = blocks.reshape(B, Tf, cells_h * C)
@@ -229,6 +245,84 @@ def assemble_children(blocks: jnp.ndarray, children: Tuple[GatherSpec, ...],
             slice(b * th, (b + 1) * th) for b in obits) + (slice(None),)
         out = out.at[idx].set(g)
     return out.reshape(B, Tc, t_c ** dim, C)
+
+
+def _parent_corner_impl(xc: jnp.ndarray, link, t_c: int,
+                        dim: int) -> jnp.ndarray:
+    """(B, Tc, t_c^dim, C) coarse tiles -> (B, Tf, (t_c/2)^dim, C): each
+    fine tile pulls its parent tile (windowed permutation) and selects its
+    corner with an octant one-hot contraction."""
+    th = t_c // 2
+    C = xc.shape[-1]
+    flat = xc.reshape(xc.shape[0], xc.shape[1], -1)
+    g = windowed_gather(flat, link.parent)          # (B, Tf, t_c^d * C)
+    B, Tf = g.shape[:2]
+    corners = _corner_view(g.reshape(B, Tf, t_c ** dim, C), t_c, dim)
+    corners = corners.reshape(B, Tf, 2 ** dim, th ** dim * C)
+    oh = jax.nn.one_hot(link.octant, 2 ** dim, dtype=xc.dtype)
+    out = jnp.einsum("bto,btof->btf", oh, corners)
+    return out.reshape(B, Tf, th ** dim, C)
+
+
+def _zero_link(link):
+    return jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), link)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def assemble_children_link(blocks: jnp.ndarray, link, t_c: int,
+                           dim: int) -> jnp.ndarray:
+    """Per-fine-tile half-blocks (B, Tf, (t_c/2)^dim, C) -> coarse tiles
+    (B, Tc, t_c^dim, C): each corner pulls its child's block (gather-form —
+    no scatters anywhere in this engine).
+
+    Custom VJP: the transpose is `parent_corner_link` — down-links are
+    injective (every fine tile has exactly ONE (parent, octant)), so the
+    adjoint of the children-gather is the parent-gather + corner select,
+    another windowed permutation. No scatter-add anywhere in the graph."""
+    return _assemble_impl(blocks, link.children, t_c, dim)
+
+
+def _acl_fwd(blocks, link, t_c, dim):
+    return _assemble_impl(blocks, link.children, t_c, dim), link
+
+
+def _acl_bwd(t_c, dim, link, g):
+    d = _parent_corner_impl(g, link, t_c, dim)
+    return d, _zero_link(link)
+
+
+assemble_children_link.defvjp(_acl_fwd, _acl_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def parent_corner_link(xc: jnp.ndarray, link, t_c: int,
+                       dim: int) -> jnp.ndarray:
+    """Decoder movement: coarse tiles -> per-fine-tile corner half-blocks.
+    Transpose of `assemble_children_link` (see its docstring)."""
+    return _parent_corner_impl(xc, link, t_c, dim)
+
+
+def _pcl_fwd(xc, link, t_c, dim):
+    return _parent_corner_impl(xc, link, t_c, dim), link
+
+
+def _pcl_bwd(t_c, dim, link, g):
+    d = _assemble_impl(g, link.children, t_c, dim)
+    return d, _zero_link(link)
+
+
+parent_corner_link.defvjp(_pcl_fwd, _pcl_bwd)
+
+
+def assemble_children(blocks: jnp.ndarray, children: Tuple[GatherSpec, ...],
+                      t_c: int, dim: int) -> jnp.ndarray:
+    """Back-compat wrapper (graph build / occupancy path): plain forward
+    assemble without the linked VJP."""
+    if len(children) == 1:
+        # tile grid unchanged (shrinking tile edge): blocks ARE the tiles
+        return blocks
+    return _assemble_impl(blocks, children, t_c, dim)
 
 
 def _corner_view(xc: jnp.ndarray, tc: int, dim: int) -> jnp.ndarray:
@@ -261,7 +355,10 @@ def downsample_conv_tiled(x, link, t_f: int, t_c: int, dim: int,
     wd = w.reshape(2 ** dim * Cin, Cout).astype(dt)
     blocks = jnp.einsum("btvc,cd->btvd", xf.astype(dt), wd,
                         preferred_element_type=jnp.float32).astype(dt)
-    return assemble_children(blocks, link.children, t_c, dim)
+    if len(link.children) == 1:
+        # tile grid unchanged (shrinking tile edge): blocks ARE the tiles
+        return blocks
+    return assemble_children_link(blocks, link, t_c, dim)
 
 
 def upsample_conv_tiled(xc, link, occ_f, t_f: int, t_c: int, dim: int,
@@ -280,15 +377,10 @@ def upsample_conv_tiled(xc, link, occ_f, t_f: int, t_c: int, dim: int,
     else:
         # gather whole parent tiles (unscaled indices keep the windowed
         # permutation exact), then select each fine tile's corner with an
-        # octant one-hot contraction
-        flat = xc.reshape(xc.shape[0], xc.shape[1], -1)
-        g = windowed_gather(flat, link.parent)     # (B, Tf, t_c^d * Cin)
-        B, Tf = g.shape[:2]
-        corners = _corner_view(g.reshape(B, Tf, t_c ** dim, Cin), t_c, dim)
-        corners = corners.reshape(B, Tf, 2 ** dim, th ** dim * Cin)
-        oh = jax.nn.one_hot(link.octant, 2 ** dim, dtype=dt)
-        blocks = jnp.einsum("bto,btof->btf", oh, corners.astype(dt))
-        blocks = blocks.reshape(B, Tf, th ** dim, Cin)
+        # octant one-hot contraction; the custom VJP transposes this to
+        # the children-gather (no scatter)
+        blocks = parent_corner_link(xc.astype(dt), link, t_c, dim)
+        B, Tf = blocks.shape[:2]
     wu = jnp.transpose(w, (1, 0, 2)).reshape(Cin, 2 ** dim * Cout).astype(dt)
     outf = jnp.einsum("btvc,cd->btvd", blocks.astype(dt), wu,
                       preferred_element_type=jnp.float32).astype(dt)

@@ -74,14 +74,17 @@ class TileGraph(NamedTuple):
     vox_tile: jnp.ndarray     # (B, Vin)
     vox_cell: jnp.ndarray     # (B, Vin)
     input_valid: jnp.ndarray  # (B, Vin)
+    tile_spill: jnp.ndarray   # (B,) tiles dropped by capacity, all levels
+    vox_spill: jnp.ndarray    # (B,) level-0 voxels whose tile was dropped
 
 
 def graph_overflows(graph: "TileGraph") -> jnp.ndarray:
     """Total correction-list overflow across all gather specs (per batch).
 
     Non-zero means some out-of-window pairs were DROPPED (wrong halo values)
-    — raise CORR_CAP or reduce batch/event size. Checked by tests and
-    exposable via TrainVal debug mode."""
+    — raise ops/halo.HALO_CORR_CAP (halo specs) / ops/tile_graph.CORR_CAP
+    (link specs) or reduce batch/event size. Checked by tests and surfaced
+    per step through TrainVal metrics."""
     tot = jnp.zeros((), jnp.int32)
     for lev in graph.levels:
         tot = tot + lev.halo.overflow.sum()
@@ -90,6 +93,15 @@ def graph_overflows(graph: "TileGraph") -> jnp.ndarray:
             tot = tot + spec.overflow.sum()
         tot = tot + link.parent.overflow.sum()
     return tot
+
+
+def graph_spills(graph: "TileGraph") -> jnp.ndarray:
+    """Tiles dropped because a level's tile capacity overflowed (summed
+    over batch and levels). Non-zero means whole tiles of voxels got ZERO
+    logits (drop-and-count spill policy, SURVEY.md §7 hard part 1) — raise
+    `tile_occupancy`/`capacity_factor` headroom or reduce event density.
+    `graph.vox_spill` counts the affected level-0 voxels directly."""
+    return graph.tile_spill.sum()
 
 
 def tile_size_at(cfg: URESNetConfig, level: int) -> int:
@@ -162,9 +174,12 @@ def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
 # ---------------------------------------------------------------------------
 
 def _sort_unique(keys: jnp.ndarray, cap: int):
+    """Returns (unique sorted keys (cap,), n_kept, n_dropped). n_dropped
+    counts uniques beyond capacity — silently losing them loses whole
+    tiles of voxels, so callers must surface it (graph_spills)."""
     skeys = jnp.sort(keys)
-    _, uniq, num, _ = _dedup_sorted(skeys, cap)
-    return uniq, num
+    _, uniq, num, n_dropped = _dedup_sorted(skeys, cap)
+    return uniq, num, n_dropped
 
 
 def _cell_index(coords: jnp.ndarray, t: int, dim: int) -> jnp.ndarray:
@@ -190,10 +205,11 @@ def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
     G = spatial_size // t
     tcoords = coords >> _shift_bits(t)
     tkey = encode(tcoords, valid, G)
-    uniq, num = _sort_unique(tkey, Tcap)
+    uniq, num, n_spill = _sort_unique(tkey, Tcap)
 
     vt, vt_ok = lookup(uniq, tkey)
     vox_tile = jnp.where(vt_ok, vt, Tcap).astype(jnp.int32)
+    vox_spill = jnp.sum(valid & ~vt_ok).astype(jnp.int32)
     vox_cell = jnp.where(valid, _cell_index(coords, t, dim), 0).astype(jnp.int32)
 
     flat = jnp.where(vox_tile < Tcap, vox_tile * cells + vox_cell, Tcap * cells)
@@ -219,7 +235,7 @@ def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
     else:
         raise ValueError(merge_mode)
     return (uniq, num, feats.reshape(Tcap, cells), occ.reshape(Tcap, cells),
-            vox_tile, vox_cell)
+            vox_tile, vox_cell, n_spill, vox_spill)
 
 
 def _fold_occ_downsample(occ, t, dim):
@@ -239,7 +255,7 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     valid = keys_f != SENTINEL
     grid_c = grid_f // 2
     pk_occ = encode(fc >> 1, valid & occ_any, grid_c)
-    keys_c, num_c = _sort_unique(pk_occ, Tc)
+    keys_c, num_c, n_spill = _sort_unique(pk_occ, Tc)
 
     cc = decode(keys_c, grid_c, dim)
     valid_c = keys_c != SENTINEL
@@ -268,7 +284,7 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     # (upsample runs only once per level transition).
     parent = make_gather_spec(pidx.astype(jnp.int32), pok, Tc, LINK_BLOCK,
                               corr_cap=4096, win_mult=4)
-    return keys_c, num_c, tuple(children), parent, corner
+    return keys_c, num_c, tuple(children), parent, corner, n_spill
 
 
 def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
@@ -278,10 +294,12 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
 
     t0 = tile_size_at(cfg, 0)
     T0 = tile_capacity_at(cfg, 0)
-    keys0, num0, feats0, occ0, vox_tile, vox_cell = jax.vmap(
+    (keys0, num0, feats0, occ0, vox_tile, vox_cell, spill0,
+     vox_spill) = jax.vmap(
         lambda c, v, n: build_tile_input(c, v, n, S, t0, T0,
                                          cfg.input_merge_mode)
     )(coords, values, n_voxels)
+    tile_spill = spill0.astype(jnp.int32)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, coords.shape[:2], 1)
     input_valid = rows < n_voxels[:, None]
@@ -296,12 +314,15 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
         if l < nlev - 1:
             t_c = tile_size_at(cfg, l + 1)
             Tc = tile_capacity_at(cfg, l + 1)
-            occ_any = occ.any(axis=-1)
+            # int sum > 0, NOT occ.any: XLA's reduce_or lowers poorly on
+            # TPU (profiled 17 ms/step at bench scale; reduce-add is free)
+            occ_any = jnp.sum(occ.astype(jnp.int32), axis=-1) > 0
             if t_c == t_l:
                 if Tc > keys.shape[1]:
                     Tc = keys.shape[1]
-                keys_c, num_c, children, parent, octant = jax.vmap(
+                keys_c, num_c, children, parent, octant, spill_c = jax.vmap(
                     lambda k, oa: _down_link(k, oa, G_l, dim, Tc))(keys, occ_any)
+                tile_spill = tile_spill + spill_c.astype(jnp.int32)
                 occ_h = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
                 # coarse occupancy: pull each corner's child occupancy
@@ -329,4 +350,5 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
             keys, num, occ = keys_c, num_c, occ_c
 
     return TileGraph(tuple(levels), tuple(links), feats0[..., None],
-                     vox_tile, vox_cell, input_valid)
+                     vox_tile, vox_cell, input_valid, tile_spill,
+                     vox_spill.astype(jnp.int32))

@@ -121,10 +121,15 @@ class TrainVal:
             logits, batch["label"], batch["n_voxels"],
             weights=batch.get("weight"), num_class=self.cfg.num_class,
             return_softmax=not train)
-        # tile-engine correction-list overflow: nonzero = dropped halo pairs
-        # (corrupted values) — main_funcs warns on report steps
-        metrics["overflow"] = mut.get("diag", {}).get(
-            "overflow", jnp.zeros((), jnp.int32))
+        # tile-engine health counters (main_funcs warns on report steps):
+        # overflow = dropped correction pairs (corrupted halo values);
+        # tile_spill/vox_spill = tiles/voxels dropped by capacity (zero
+        # logits for those voxels)
+        diag = mut.get("diag", {})
+        zero = jnp.zeros((), jnp.int32)
+        metrics["overflow"] = diag.get("overflow", zero)
+        metrics["tile_spill"] = diag.get("tile_spill", zero)
+        metrics["vox_spill"] = diag.get("vox_spill", zero)
         return metrics["loss"], (new_stats, metrics)
 
     def _build_steps(self) -> None:
