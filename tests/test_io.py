@@ -138,3 +138,38 @@ def test_epoch_shuffle_deterministic_across_instances():
     first_epoch = np.concatenate(seq_a)[:16]
     assert sorted(first_epoch.tolist()) == list(range(16))
     assert not np.array_equal(first_epoch, np.arange(16))
+
+
+def test_prediction_writer_chunked(tmp_path):
+    """Buffered writer: multiple flushes (tiny flush threshold) must yield
+    the same file as event-by-event writes — row_splits/entries/data all
+    consistent across flush boundaries, tail flushed on close."""
+    import h5py
+    from uresnet_pytorch_tpu.iotools.writer import PredictionWriter
+    cfg = URESNetConfig(io_type="synthetic", spatial_size=16, data_dim=3,
+                        max_voxels=32, batch_size=2, num_class=5,
+                        uresnet_num_strides=3,
+                        output_file=str(tmp_path / "pred.h5"))
+    w = PredictionWriter(cfg, flush_rows=50)  # forces mid-stream flushes
+    rng = np.random.default_rng(0)
+    want_counts, want_entries = [], []
+    for it in range(5):
+        ns = rng.integers(5, 30, size=2)
+        blob = {
+            "index": np.array([2 * it, 2 * it + 1], np.int64),
+            "n_voxels": ns.astype(np.int32),
+            "coords": rng.integers(0, 16, size=(2, 32, 3)).astype(np.int32),
+        }
+        sm = rng.random((2, 32, 5)).astype(np.float32)
+        w.store_segment(blob["index"], blob, sm)
+        want_counts += list(ns)
+        want_entries += list(blob["index"])
+    w.close()
+    with h5py.File(tmp_path / "pred.h5") as f:
+        g = f["prediction"]
+        splits = np.asarray(g["row_splits"])
+        np.testing.assert_array_equal(np.diff(splits), want_counts)
+        np.testing.assert_array_equal(np.asarray(g["entries"]), want_entries)
+        assert g["coords"].shape[0] == splits[-1] == sum(want_counts)
+        assert (np.asarray(g["values"]) ==
+                np.argmax(np.asarray(g["softmax"]), axis=-1)).all()

@@ -4,7 +4,6 @@ products back out; SURVEY.md §3.2)."""
 
 from __future__ import annotations
 
-import threading
 import numpy as np
 from typing import Dict
 
@@ -30,14 +29,14 @@ class IOH5(IOBase):
             paths = paths[: cfg.limit_num_files]
         self._reader = H5Reader(paths, list(self._key_map.values()))
         self._num_entries = len(self._reader)
-        self._read_lock = threading.Lock()
         if self._reader.data_dim != cfg.data_dim:
             raise ValueError(
                 f"file data_dim {self._reader.data_dim} != config {cfg.data_dim}")
 
     def _read_event(self, index: int) -> Dict[str, tuple]:
-        with self._read_lock:  # h5py handles are not thread-safe
-            raw = self._reader.read(index)
+        # no lock: H5Reader keeps per-thread file handles, so producer
+        # threads read concurrently (the round-2 single-lock ceiling)
+        raw = self._reader.read(index)
         return {canon: raw[real] for canon, real in self._key_map.items()}
 
     def finalize(self) -> None:

@@ -122,28 +122,34 @@ def inference(cfg: URESNetConfig, io=None) -> dict:
         for ckpt in ckpts:
             if ckpt is not None:
                 tv.restore_state(ckpt)
-            tot_loss = tot_acc = 0.0
-            cls_correct = np.zeros(cfg.num_class)
-            cls_count = np.zeros(cfg.num_class)
-            inter = np.zeros(cfg.num_class)
-            union = np.zeros(cfg.num_class)
+            # metrics accumulate ON DEVICE (tiny async adds); the single
+            # host fetch below is the only device sync of the whole pass —
+            # per-batch float() syncs capped throughput once the step got
+            # fast. Softmax is only pulled when predictions are written.
+            import jax
+            acc = None
             t0 = time.perf_counter()
             for _ in range(n_iters):
                 blob = io.next()
                 res = tv.forward(blob)
-                tot_loss += float(res["loss"])
-                tot_acc += float(res["accuracy"])
-                pca = np.asarray(res["per_class_accuracy"])
-                cc = np.asarray(res["class_count"])
-                cls_correct += pca * cc
-                cls_count += cc
-                inter += np.asarray(res["intersection"])
-                union += np.asarray(res["union"])
+                upd = {
+                    "loss": res["loss"], "accuracy": res["accuracy"],
+                    "cls_correct": res["per_class_accuracy"] * res["class_count"],
+                    "cls_count": res["class_count"],
+                    "inter": res["intersection"], "union": res["union"],
+                }
+                acc = upd if acc is None else jax.tree_util.tree_map(
+                    lambda a, b: a + b, acc, upd)
                 if cfg.output_file:
                     io.store_segment(blob["index"], blob,
                                      np.asarray(res["softmax"]))
+            # fetch = the honest completion fence (inside the timing window)
+            acc = jax.tree_util.tree_map(np.asarray, acc)
             dt = time.perf_counter() - t0
-            per_class = cls_correct / np.maximum(cls_count, 1.0)
+            tot_loss, tot_acc = float(acc["loss"]), float(acc["accuracy"])
+            cls_count = acc["cls_count"]
+            inter, union = acc["inter"], acc["union"]
+            per_class = acc["cls_correct"] / np.maximum(cls_count, 1.0)
             iou = inter / np.maximum(union, 1.0)
             miou = float(iou[cls_count > 0].mean()) if (cls_count > 0).any() else 0.0
             row_keys = (["ckpt", "loss", "accuracy", "miou",
