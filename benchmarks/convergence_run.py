@@ -1,0 +1,89 @@
+"""Train the sparse model to convergence on synthetic events and record
+accuracy-at-convergence (VERDICT r2 'what's missing' #3 / BASELINE.json
+metric is events/sec AT mIoU parity — throughput alone proves nothing).
+
+Trains on a fixed synthetic set (deterministic by (seed, index)), then
+evaluates on a HELD-OUT synthetic set (different seed => disjoint events)
+with the full inference metric stack (per-class accuracy, mIoU). The
+reference lineage claims ~99% nonzero-voxel accuracy on real LArTPC data
+(BASELINE.md); the synthetic generator is simpler, so the bar here is
+>=95% overall voxel accuracy on held-out events.
+
+Usage: python benchmarks/convergence_run.py [--iters 2000] [--out DIR]
+Prints one JSON line with the final numbers and leaves checkpoints +
+train_log.csv + inference_log.csv under --out.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--spatial", type=int, default=256)
+    ap.add_argument("--voxels", type=int, default=12000)
+    ap.add_argument("--events", type=int, default=512)
+    ap.add_argument("--eval-iters", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=2.5e-3)
+    ap.add_argument("--out", default="/tmp/uresnet_convergence")
+    args = ap.parse_args()
+
+    import numpy as np
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    from uresnet_pytorch_tpu.iotools.io_synthetic import IOSynthetic
+    from uresnet_pytorch_tpu import main_funcs
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = URESNetConfig(
+        model_name="uresnet_sparse", num_class=5, uresnet_filters=16,
+        uresnet_num_strides=5, spatial_size=args.spatial, data_dim=3,
+        reps=2,
+        max_voxels=max(256, 1 << int(np.ceil(np.log2(args.voxels * 1.6)))),
+        capacity_factor=0.5, min_level_capacity=1024,
+        batch_size=args.batch, compute_dtype="bfloat16",
+        learning_rate=args.lr, iteration=args.iters,
+        checkpoint_step=max(100, args.iters // 4), report_step=50,
+        weight_key="weight",          # class-balanced loss weights
+        weight_prefix=os.path.join(args.out, "snap"),
+        log_dir=args.out, seed=11)
+
+    t0 = time.time()
+    io_tr = IOSynthetic(cfg, n_events=args.events, mean_voxels=args.voxels)
+    main_funcs.train(cfg, io=io_tr)
+    t_train = time.time() - t0
+
+    # held-out evaluation: different generator seed => disjoint events
+    eval_cfg = cfg.replace(
+        seed=12, iteration=args.eval_iters,
+        model_path=os.path.join(args.out, f"snap-{args.iters}.ckpt"))
+    io_ev = IOSynthetic(eval_cfg, n_events=args.eval_iters * args.batch,
+                        mean_voxels=args.voxels)
+    res = main_funcs.inference(eval_cfg, io=io_ev)
+
+    summary = {
+        "metric": "converged_heldout_voxel_accuracy",
+        "iters": args.iters,
+        "train_wall_sec": round(t_train, 1),
+        "final_loss": round(float(res["loss"]), 4),
+        "accuracy": round(float(res["accuracy"]), 4),
+        "miou": round(float(res["miou"]), 4),
+        "per_class_accuracy": [
+            round(float(res[f"acc_class{c}"]), 4)
+            for c in range(cfg.num_class)],
+        "per_class_iou": [
+            round(float(res[f"iou_class{c}"]), 4)
+            for c in range(cfg.num_class)],
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

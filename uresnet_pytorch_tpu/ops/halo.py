@@ -50,6 +50,30 @@ HALO_WIN_MULT = int(os.environ.get("URESNET_HALO_WIN_MULT", 2))
 # on 512^3/1e5-voxel events at Bk=128/win=256: 180 pairs (the spread tail
 # is structural slab-boundary jumps; bigger windows don't drain it)
 HALO_CORR_CAP = 256
+# share one window START per leading-axis offset group (d0 in {-1,0,+1}):
+# every offset in a group then has identical starts, letting the Pallas
+# kernels fetch each group's contiguous lane range with ONE DMA — the
+# kernels were DMA-ISSUE-bound at 3^d-1 window DMAs per grid step. The
+# group spread (max-min of member starts) is absorbed by a taller window
+# (HALO_GROUP_WIN_MULT x block); residual stragglers still ride the
+# correction list, so this stays exact. 0 disables (per-offset windows).
+HALO_GROUP = int(os.environ.get("URESNET_HALO_GROUP", 1))
+HALO_GROUP_WIN_MULT = int(os.environ.get("URESNET_HALO_GROUP_WIN_MULT", 4))
+
+
+@lru_cache(maxsize=None)
+def halo_groups(dim: int) -> tuple:
+    """Offset-index ranges [(k_start, k_end), ...) grouped by the leading
+    offset coordinate d0. Offsets are lexicographic, so groups are
+    contiguous in k AND in the packed slab-lane layout."""
+    offs = halo_offsets(dim)
+    groups = []
+    start = 0
+    for k in range(1, len(offs) + 1):
+        if k == len(offs) or offs[k][0] != offs[start][0]:
+            groups.append((start, k))
+            start = k
+    return tuple(groups)
 
 
 def _flat_cumsum(x: jnp.ndarray) -> jnp.ndarray:
@@ -152,10 +176,14 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
 
     Late-bound defaults read the module constants so tests can monkeypatch
     them to force overflow."""
+    grouped = HALO_GROUP and dim in (2, 3)
     if block is None:
         block = HALO_BLOCK
     if win_mult is None:
-        win_mult = HALO_WIN_MULT
+        # grouped windows absorb the within-group start spread, so their
+        # default is taller; an EXPLICIT win_mult always wins (tests force
+        # tiny windows to exercise the correction path)
+        win_mult = HALO_GROUP_WIN_MULT if grouped else HALO_WIN_MULT
     if corr_cap is None:
         corr_cap = HALO_CORR_CAP
     offs = halo_offsets(dim)
@@ -181,6 +209,13 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     # (each offset map is monotone, so its block sources are contiguous-ish)
     cand = jnp.where(ok, idx, T + win).reshape(K, nb, Bk)
     starts = jnp.min(cand, axis=2)                      # (K, nb)
+    if grouped:
+        # one shared start per d0 group: all member offsets get the group
+        # min, so the kernel can DMA the group's contiguous lanes at once
+        parts = [jnp.broadcast_to(
+            jnp.min(starts[k0:k1], axis=0, keepdims=True),
+            (k1 - k0, nb)) for (k0, k1) in halo_groups(dim)]
+        starts = jnp.concatenate(parts, axis=0)
     starts = jnp.clip(starts, 0, max(T - 1, 0))
     starts = ((starts // 8) * 8).astype(jnp.int32)     # sublane-aligned DMA
 

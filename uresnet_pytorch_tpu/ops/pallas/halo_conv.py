@@ -51,8 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from uresnet_pytorch_tpu.ops.halo import halo_offsets
 from uresnet_pytorch_tpu.ops.pallas.halo_fused import (
-    _SCRATCH_BUDGET, _VMEM_LIMIT, _has_patch, _lane_layout, _local_idx,
-    _plans, _preslice, _round_up, _with_patch_rows)
+    _SCRATCH_BUDGET, _VMEM_LIMIT, _grouped_now, _has_patch,
+    _issue_window_dmas, _lane_layout, _local_idx, _plans, _preslice,
+    _round_up, _with_patch_rows)
 
 
 def flip_weights(w: jnp.ndarray) -> jnp.ndarray:
@@ -64,6 +65,19 @@ def flip_weights(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(w[::-1], (0, 2, 1))
 
 
+@functools.lru_cache(maxsize=None)
+def _toeplitz_band(t: int) -> np.ndarray:
+    """Static band selector M[dx, x, o] = 1 iff x == o + dx (x in [0,t+2),
+    o in [0,t), dx in [0,3)) — the 3 live diagonals of the x-axis
+    Toeplitz block."""
+    e = t + 2
+    M = np.zeros((3, e, t), np.float32)
+    for o in range(t):
+        for dx in range(3):
+            M[dx, o + dx, o] = 1.0
+    return M
+
+
 def toeplitz_weights(w: jnp.ndarray, t: int, dim: int,
                      dtype=None) -> jnp.ndarray:
     """(3^dim, Cin, Cout) offset stack -> (3, Kl, t*Cout) banded blocks.
@@ -71,31 +85,27 @@ def toeplitz_weights(w: jnp.ndarray, t: int, dim: int,
     Block d0 maps the ext-scratch lane slice of row-group (o0+d0) onto the
     t output x-positions: rows indexed by (d1, a2, ci) for dim=3 (by
     (a1, ci) for dim=2), cols by (o_last, co); entry = w[d0, d1, a2-o, ...]
-    on the 3 live diagonals, 0 elsewhere."""
+    on the 3 live diagonals, 0 elsewhere.
+
+    ONE einsum against a static band mask — the original per-diagonal
+    .at[].set loop emitted 3^dim*t tiny device ops PER CONV (~4000/step
+    at bench scale, ~40% of the measured step time)."""
     K, Cin, Cout = w.shape
     assert K == 3 ** dim
     if dtype is None:
         dtype = w.dtype
     e = t + 2
+    M = jnp.asarray(_toeplitz_band(t), dtype=jnp.float32)
+    wf = w.astype(jnp.float32)
     if dim == 3:
-        w3 = w.reshape(3, 3, 3, Cin, Cout)
-        wt = jnp.zeros((3, 3, e, Cin, t, Cout), dtype)
-        for d0 in range(3):
-            for d1 in range(3):
-                for dx in range(3):
-                    for o in range(t):
-                        wt = wt.at[d0, d1, o + dx, :, o, :].set(
-                            w3[d0, d1, dx].astype(dtype))
-        return wt.reshape(3, 3 * e * Cin, t * Cout)
+        w3 = wf.reshape(3, 3, 3, Cin, Cout)
+        # wt[d0, d1, x, ci, o, co] = w3[d0, d1, x - o] on the band
+        wt = jnp.einsum("dxo,abdcf->abxcof", M, w3)
+        return wt.reshape(3, 3 * e * Cin, t * Cout).astype(dtype)
     if dim == 2:
-        w2 = w.reshape(3, 3, Cin, Cout)
-        wt = jnp.zeros((3, e, Cin, t, Cout), dtype)
-        for d0 in range(3):
-            for dx in range(3):
-                for o in range(t):
-                    wt = wt.at[d0, o + dx, :, o, :].set(
-                        w2[d0, dx].astype(dtype))
-        return wt.reshape(3, e * Cin, t * Cout)
+        w2 = wf.reshape(3, 3, Cin, Cout)
+        wt = jnp.einsum("dxo,adcf->axcof", M, w2)
+        return wt.reshape(3, e * Cin, t * Cout).astype(dtype)
     raise ValueError(dim)
 
 
@@ -123,7 +133,7 @@ def _out_groups(t: int, dim: int):
     return groups, span
 
 
-def _fused_kernel(t, dim, C, Cout, win, P, Tsrc, Bk,
+def _fused_kernel(grouped, t, dim, C, Cout, win, P, Tsrc, Bk,
                   starts_ref, hasp_ref, lidx_ref, xblk_ref, xs_ref, wt_ref,
                   out_ref, win_scr, ext_scr, sems):
     b = pl.program_id(0)
@@ -134,15 +144,11 @@ def _fused_kernel(t, dim, C, Cout, win, P, Tsrc, Bk,
     dt = out_ref.dtype
 
     # ---- stage 1: build the halo-extended block in ext_scr ----
-    dmas = []
-    for k in range(K):
-        o, w = lane_off[k], lane_w[k]
-        stk = pl.multiple_of(starts_ref[b, k, n], 8)
-        d = pltpu.make_async_copy(
-            xs_ref.at[b, pl.ds(stk, win), o:o + w],
-            win_scr.at[pl.ds(0, win), o:o + w], sems.at[k])
-        d.start()
-        dmas.append(d)
+    # one DMA per d0 group when the spec carries group-equal starts
+    # (ops/halo.py HALO_GROUP): the kernel was DMA-issue-bound at 3^d-1
+    # window issues per grid step
+    dmas = _issue_window_dmas(grouped, t, dim, C, win, b, n, starts_ref,
+                              xs_ref, win_scr, sems)
     if P:
         @pl.when(n == 0)
         def _():
@@ -158,7 +164,8 @@ def _fused_kernel(t, dim, C, Cout, win, P, Tsrc, Bk,
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     for k in range(K):
-        dmas[k].wait()
+        if k in dmas:   # group head (grouped) or every k (ungrouped)
+            dmas[k].wait()
         local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
         oh = (local == pos).astype(dt)
         o, w = lane_off[k], lane_w[k]
@@ -242,7 +249,8 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, t, dim, C, Cout, win, P, T, Bk),
+        functools.partial(_fused_kernel, _grouped_now(dim), t, dim, C,
+                          Cout, win, P, T, Bk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),

@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from uresnet_pytorch_tpu.ops.halo import (
-    body_cells, halo_offsets, slab_cells)
+    body_cells, halo_groups, halo_offsets, slab_cells)
 
 
 def _runs(seq):
@@ -97,8 +97,44 @@ def _plans(t: int, dim: int):
             ext_plan, src_plan, body_plan, pk)
 
 
-def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
-                xblk_ref, xs_ref, out_ref, win_scr, sems):
+def _issue_window_dmas(grouped, t, dim, C, win, b, n, starts_ref, src_ref,
+                       win_scr, sems, negate=False):
+    """Start the window DMAs; returns {offset k: dma to wait on before k's
+    dot}. grouped=True (spec built with group-equal starts): ONE DMA per
+    d0 group over its contiguous lane span — the kernels are DMA-ISSUE
+    bound at 3^d-1 issues per grid step, and grouping cuts that to dim.
+    negate=True reads each offset's rows at the NEGATED offset's starts
+    (backward); negation maps whole d0 groups onto each other, so the
+    grouped path stays one DMA per group."""
+    lane_off, lane_w, _ = _lane_layout(t, dim, C)
+    K = len(halo_offsets(dim))
+    dmas = {}
+    if grouped:
+        for gi, (k0, k1) in enumerate(halo_groups(dim)):
+            o = lane_off[k0]
+            w = lane_off[k1 - 1] + lane_w[k1 - 1] - o
+            ks = (K - 1 - k0) if negate else k0
+            stk = pl.multiple_of(starts_ref[b, ks, n], 8)
+            d = pltpu.make_async_copy(
+                src_ref.at[b, pl.ds(stk, win), o:o + w],
+                win_scr.at[pl.ds(0, win), o:o + w], sems.at[gi])
+            d.start()
+            dmas[k0] = d
+    else:
+        for k in range(K):
+            o, w = lane_off[k], lane_w[k]
+            ks = (K - 1 - k) if negate else k
+            stk = pl.multiple_of(starts_ref[b, ks, n], 8)
+            d = pltpu.make_async_copy(
+                src_ref.at[b, pl.ds(stk, win), o:o + w],
+                win_scr.at[pl.ds(0, win), o:o + w], sems.at[k])
+            d.start()
+            dmas[k] = d
+    return dmas
+
+
+def _fwd_kernel(grouped, t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref,
+                lidx_ref, xblk_ref, xs_ref, out_ref, win_scr, sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
     (_, _, slab_start, slab_len, ext_plan, _, body_plan, packc) = \
@@ -108,15 +144,8 @@ def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
     dt = out_ref.dtype
     W = win + P
 
-    dmas = []
-    for k in range(K):
-        o, w = lane_off[k], lane_w[k]
-        stk = pl.multiple_of(starts_ref[b, k, n], 8)
-        d = pltpu.make_async_copy(
-            xs_ref.at[b, pl.ds(stk, win), o:o + w],
-            win_scr.at[pl.ds(0, win), o:o + w], sems.at[k])
-        d.start()
-        dmas.append(d)
+    dmas = _issue_window_dmas(grouped, t, dim, C, win, b, n, starts_ref,
+                              xs_ref, win_scr, sems)
     if P:
         # patch rows live in the scratch tail PERSISTENTLY for the whole
         # event: the TPU grid iterates n innermost, so fetch once at n == 0
@@ -139,7 +168,8 @@ def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
     # common case never pays their K-rows
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     for k in range(K):
-        dmas[k].wait()
+        if k in dmas:   # group head (grouped) or every k (ungrouped)
+            dmas[k].wait()
         local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
         oh = (local == pos).astype(dt)
         o, w = lane_off[k], lane_w[k]
@@ -164,8 +194,8 @@ def _fwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
                         + resp[:, sp * C:(sp + ln) * C])
 
 
-def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
-                gblk_ref, gs_ref, out_ref, win_scr, acc, sems):
+def _bwd_kernel(grouped, t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref,
+                lidx_ref, gblk_ref, gs_ref, out_ref, win_scr, acc, sems):
     """Transpose: d_x block = body cotangent + per-offset slab cotangents
     gathered from the NEGATED offset's neighbor rows."""
     b = pl.program_id(0)
@@ -177,17 +207,9 @@ def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
     dt = out_ref.dtype
     W = win + P
 
-    dmas = []
-    for k in range(K):
-        # slab k's cotangent lanes, windowed at the NEGATED offset's starts
-        rk = K - 1 - k
-        o, w = lane_off[k], lane_w[k]
-        stk = pl.multiple_of(starts_ref[b, rk, n], 8)
-        d = pltpu.make_async_copy(
-            gs_ref.at[b, pl.ds(stk, win), o:o + w],
-            win_scr.at[pl.ds(0, win), o:o + w], sems.at[k])
-        d.start()
-        dmas.append(d)
+    # slab k's cotangent lanes, windowed at the NEGATED offset's starts
+    dmas = _issue_window_dmas(grouped, t, dim, C, win, b, n, starts_ref,
+                              gs_ref, win_scr, sems, negate=True)
     if P:
         @pl.when(n == 0)
         def _():
@@ -204,7 +226,8 @@ def _bwd_kernel(t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref, lidx_ref,
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     for k in range(K):
-        dmas[k].wait()
+        if k in dmas:
+            dmas[k].wait()
         rk = K - 1 - k
         local = lidx_ref[0, 0, rk, :].reshape(Bk, 1)
         oh = (local == pos).astype(dt)
@@ -337,6 +360,14 @@ def _run_chunked(fn, x, C, per_c_bytes):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _grouped_now(dim):
+    """Trace-time: whether specs are being built with group-equal starts
+    (ops.halo.HALO_GROUP). Must match the spec fed to the kernel — both
+    read the same module flag within one trace."""
+    from uresnet_pytorch_tpu.ops import halo as _halo_mod
+    return bool(_halo_mod.HALO_GROUP) and dim in (2, 3)
+
+
 def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
                interpret: bool = False) -> jnp.ndarray:
     """x (B, T, t^dim, C) -> (B, T, (t+2)^dim, C), exact."""
@@ -383,7 +414,8 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel, t, dim, Cc, win, P, T, Bk),
+            functools.partial(_fwd_kernel, _grouped_now(dim), t, dim,
+                              Cc, win, P, T, Bk),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, T, elanes_p), xc.dtype),
             compiler_params=pltpu.CompilerParams(
@@ -442,7 +474,8 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_bwd_kernel, t, dim, Cc, win, P, T, Bk),
+            functools.partial(_bwd_kernel, _grouped_now(dim), t, dim,
+                              Cc, win, P, T, Bk),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, T, lanes_p), gc.dtype),
             compiler_params=pltpu.CompilerParams(
