@@ -117,3 +117,26 @@ def test_vjp_matches_autodiff_through_oracle():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(d_w), np.asarray(ref_dw),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_fused_v2_correction_path():
+    """v2 layout (C mult of 8: planes-from-flat + slim group-0 pack) with a
+    tiny window forcing pairs through the v2 patch rows — exact vs oracle.
+    The small-C tests above exercise v1; this pins v2's three-segment
+    window layout, plane write plans, and patch arrangement."""
+    from uresnet_pytorch_tpu.ops.pallas.halo_conv import _v2_layout
+    rng = np.random.default_rng(23)
+    dim, G, t, Cin, Cout, B, T = 3, 8, 4, 16, 8, 2, 64
+    assert _v2_layout(t, dim, Cin) is not None
+    keys = [_random_level(rng, G, dim, T, 48)[0] for _ in range(B)]
+    _, spec = _spec_batched(keys, G, dim, block=8, win_mult=1)
+    assert int(np.asarray(spec.corr_ok).sum()) > 0
+    assert int(np.asarray(spec.overflow).sum()) == 0
+    x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
+    ref = _oracle(x, spec, t, dim, w)
+    wt = toeplitz_weights(w, t, dim)
+    out = halo_conv_fwd(x, wt, spec, t, dim, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -53,7 +53,7 @@ from uresnet_pytorch_tpu.ops.halo import halo_offsets
 from uresnet_pytorch_tpu.ops.pallas.halo_fused import (
     _SCRATCH_BUDGET, _VMEM_LIMIT, _grouped_now, _has_patch,
     _issue_window_dmas, _lane_layout, _local_idx, _plans, _preslice,
-    _round_up, _with_patch_rows)
+    _round_up, _runs, _with_patch_rows)
 
 
 def flip_weights(w: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +131,202 @@ def _out_groups(t: int, dim: int):
             groups.append((tuple(ext0), o0 * t))
         span = e
     return groups, span
+
+
+# ---------------------------------------------------------------------------
+# v2 window layout: planes-from-flat + slim group-0 pack
+#
+# The d0=-1 group's source cells all lie in the neighbor tile's x=t-1 plane
+# and the d0=+1 group's in its x=0 plane — both CONTIGUOUS lane ranges of
+# the plain flat (cells*C) row. So those two groups' window DMAs can read
+# the flat activation array directly, and only the 8 (dim=3) d0=0 offsets
+# need a packed preslice (t=4/C=16: 1536 lanes vs 4096 for the full v1
+# pack). Cuts the per-conv XLA preslice pass ~2.7x and the window DMA
+# bytes ~2x. Requires group-equal starts (HALO_GROUP) and 128-aligned
+# plane lane ranges (t^2*C % 128 == 0); callers fall back to v1 otherwise.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _plane_plan(delta: tuple, t: int):
+    """Joint (plane_pos, run_len, ext_cell) runs for a +-1-group offset:
+    res columns are the neighbor's full x-plane (t^2 cells, lex (y,z));
+    write runs wherever BOTH the plane position and the ext cell advance
+    consecutively."""
+    from uresnet_pytorch_tpu.ops.halo import slab_cells
+    ecells, scells = slab_cells(delta, t)
+    x0 = (t - 1) if delta[0] == -1 else 0
+    rel = scells - x0 * t * t
+    plan = []
+    r0 = 0
+    for i in range(1, len(rel) + 1):
+        if (i == len(rel) or rel[i] != rel[i - 1] + 1
+                or ecells[i] != ecells[i - 1] + 1):
+            plan.append((int(rel[r0]), i - r0, int(ecells[r0])))
+            r0 = i
+    return tuple(plan)
+
+
+@functools.lru_cache(maxsize=None)
+def _pack0_cells(t: int, dim: int):
+    """Group-0 (d0=0) slab pack: per-offset pack cell offsets (dense, no
+    per-slab alignment — the whole pack is ONE DMA; dots slice at C
+    granularity) + total pack cells + the preslice run plan."""
+    from uresnet_pytorch_tpu.ops.halo import halo_groups, halo_offsets
+    from uresnet_pytorch_tpu.ops.halo import slab_cells
+    offs = halo_offsets(dim)
+    (g0, g1), (m0, m1) = halo_groups(dim)[0], halo_groups(dim)[1]
+    pack_off = {}
+    runs = []
+    pk = 0
+    for k in range(m0, m1):
+        cells = slab_cells(offs[k], t)[1]
+        pack_off[k] = pk
+        for (v, ln, p) in _runs(cells):
+            runs.append((v, ln, pk + p))
+        pk += len(cells)
+    return pack_off, pk, tuple(runs)
+
+
+def _v2_layout(t: int, dim: int, C: int):
+    """(seg0_lanes, seg1_lanes, planes_v2) or None when v2 is unavailable
+    (alignment or dim)."""
+    if dim != 3:
+        return None
+    pc = t * t
+    if (pc * C) % 128 or ((t - 1) * pc * C) % 128:
+        return None
+    _, pk0, _ = _pack0_cells(t, dim)
+    seg0 = pc * C
+    seg1 = _round_up(pk0 * C, 128)
+    return seg0, seg1, 2 * seg0 + seg1
+
+
+def _preslice0(flat, C, t, dim):
+    """(B, T, cells*C...) -> (B, T, seg1_lanes): the d0=0 offsets' slab
+    runs, densely packed, zero-padded to the 128-aligned segment width."""
+    _, pk0, runs = _pack0_cells(t, dim)
+    segs = [flat[:, :, v * C:(v + ln) * C] for (v, ln, _) in runs]
+    used = pk0 * C
+    w = _round_up(used, 128)
+    if w > used:
+        B, T = flat.shape[:2]
+        segs.append(jnp.zeros((B, T, w - used), flat.dtype))
+    return jnp.concatenate(segs, axis=-1)
+
+
+def _patch_rows_v2(xf, spec, t, dim, C):
+    """(B, P, planes_v2): correction-source rows arranged in the v2 window
+    lane layout [hi plane | group-0 pack | lo plane] — tiny (P rows)."""
+    B, T = xf.shape[:2]
+    P = spec.corr_src.shape[1]
+    pc = t * t
+    if not P:   # pallas dislikes zero-size operands; 1 unused row
+        return jnp.zeros((B, 1, _v2_layout(t, dim, C)[2]), xf.dtype)
+    rows = jnp.where(spec.corr_ok, spec.corr_src, T)
+    pr = jax.vmap(lambda xx, rr: jnp.take(xx, rr, axis=0, mode="fill",
+                                          fill_value=0))(xf, rows)
+    seg0 = pr[:, :, (t - 1) * pc * C:t ** dim * C]
+    seg1 = _preslice0(pr, C, t, dim)
+    seg2 = pr[:, :, 0:pc * C]
+    return jnp.concatenate([seg0, seg1, seg2], axis=-1)
+
+
+def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
+                     starts_ref, hasp_ref, lidx_ref, xblk_ref, xf_ref,
+                     xs0_ref, patch_ref, wt_ref, out_ref, win_scr, ext_scr,
+                     sems):
+    from uresnet_pytorch_tpu.ops.halo import halo_groups
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    (_, _, _, slab_len, ext_plan, _, body_plan, _) = _plans(t, dim)
+    offs = halo_offsets(dim)
+    K = len(offs)
+    G = 3 ** (dim - 1)          # offsets per +-1 group
+    pc = t * t
+    pack_off, pk0, _ = _pack0_cells(t, dim)
+    seg0_l, seg1_l, planes_v2 = _v2_layout(t, dim, C)
+    seg2_b = seg0_l + seg1_l
+    dt = out_ref.dtype
+    lanes = (t ** dim) * C
+
+    # ---- stage 1: three group window DMAs (+ persistent patch rows) ----
+    st0 = pl.multiple_of(starts_ref[b, 0, n], 8)
+    d0 = pltpu.make_async_copy(
+        xf_ref.at[b, pl.ds(st0, win), (t - 1) * pc * C:lanes],
+        win_scr.at[pl.ds(0, win), 0:seg0_l], sems.at[0])
+    d0.start()
+    st1 = pl.multiple_of(starts_ref[b, G, n], 8)
+    d1 = pltpu.make_async_copy(
+        xs0_ref.at[b, pl.ds(st1, win), 0:seg1_l],
+        win_scr.at[pl.ds(0, win), seg0_l:seg2_b], sems.at[1])
+    d1.start()
+    st2 = pl.multiple_of(starts_ref[b, K - G, n], 8)
+    d2 = pltpu.make_async_copy(
+        xf_ref.at[b, pl.ds(st2, win), 0:pc * C],
+        win_scr.at[pl.ds(0, win), seg2_b:seg2_b + seg0_l], sems.at[2])
+    d2.start()
+    if P:
+        @pl.when(n == 0)
+        def _():
+            pd = pltpu.make_async_copy(
+                patch_ref.at[b], win_scr.at[pl.ds(win, P), :], sems.at[3])
+            pd.start()
+            pd.wait()
+
+    xb = xblk_ref[0]                                   # (Bk, cells*C)
+    for (c0, ln, e0) in body_plan:
+        ext_scr[:, e0 * C:(e0 + ln) * C] = xb[:, c0 * C:(c0 + ln) * C]
+
+    def col_range(k):
+        if k < G:
+            return 0, seg0_l, _plane_plan(offs[k], t)
+        if k >= K - G:
+            return seg2_b, seg0_l, _plane_plan(offs[k], t)
+        return seg0_l + pack_off[k] * C, slab_len[k] * C, ext_plan[k]
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
+    for k in range(K):
+        if k == 0:
+            d0.wait()
+        elif k == G:
+            d1.wait()
+        elif k == K - G:
+            d2.wait()
+        o, w, plan = col_range(k)
+        local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
+        oh = (local == pos).astype(dt)
+        res = jnp.dot(oh, win_scr[pl.ds(0, win), o:o + w],
+                      preferred_element_type=jnp.float32).astype(dt)
+        for (sp, ln, e0) in plan:
+            ext_scr[:, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
+
+    if P:
+        @pl.when(hasp_ref[b, n] != 0)
+        def _():
+            posp = jax.lax.broadcasted_iota(jnp.int32, (Bk, P), 1) + win
+            for k in range(K):
+                o, w, plan = col_range(k)
+                local = lidx_ref[0, 0, k, :].reshape(Bk, 1)
+                ohp = (local == posp).astype(dt)
+                resp = jnp.dot(ohp, win_scr[pl.ds(win, P), o:o + w],
+                               preferred_element_type=jnp.float32).astype(dt)
+                for (sp, ln, e0) in plan:
+                    ext_scr[:, e0 * C:(e0 + ln) * C] = (
+                        ext_scr[:, e0 * C:(e0 + ln) * C]
+                        + resp[:, sp * C:(sp + ln) * C])
+
+    # ---- stage 2: Toeplitz conv dots from ext_scr -> out_ref ----
+    groups, span = _out_groups(t, dim)
+    Kl = span * C
+    No = t * Cout
+    for (ext0s, oc) in groups:
+        acc = None
+        for dd in range(3):
+            s = ext_scr[:, ext0s[dd] * C:ext0s[dd] * C + Kl]
+            prod = jnp.dot(s, wt_ref[dd],
+                           preferred_element_type=jnp.float32)
+            acc = prod if acc is None else acc + prod
+        out_ref[0, :, oc * Cout:oc * Cout + No] = acc.astype(dt)
 
 
 def _fused_kernel(grouped, t, dim, C, Cout, win, P, Tsrc, Bk,
@@ -226,10 +422,55 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
 
     xf = jnp.pad(x.reshape(B, T, lanes),
                  ((0, 0), (0, 0), (0, lanes_p - lanes)))
-    xs = _preslice(xf, C, t, dim, 1)
-    xs = _with_patch_rows(xs, spec, win)
     lidx = spec.lidx                  # precomputed at graph build
     hasp = spec.hasp
+    grouped = _grouped_now(dim)
+    v2 = _v2_layout(t, dim, C) if grouped else None
+
+    if v2 is not None:
+        # v2: +-1 groups window-DMA the FLAT rows (their sources are the
+        # x=t-1 / x=0 plane, a contiguous aligned lane range); only the
+        # d0=0 offsets get a (slim) preslice pack. See block comment above.
+        seg0_l, seg1_l, planes_v2 = v2
+        patch = _patch_rows_v2(xf, spec, t, dim, C)
+        rowpad = ((0, 0), (0, win), (0, 0))
+        xf_p = jnp.pad(xf, rowpad)
+        xs0 = jnp.pad(_preslice0(xf, C, t, dim), rowpad)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nb),
+            in_specs=[
+                pl.BlockSpec((1, 1, lidx.shape[2], Bk),
+                             lambda b, n, st, hp: (b, n, 0, 0)),
+                pl.BlockSpec((1, Bk, lanes_p),
+                             lambda b, n, st, hp: (b, n, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),   # xf_p (row windows)
+                pl.BlockSpec(memory_space=pl.ANY),   # xs0
+                pl.BlockSpec(memory_space=pl.ANY),   # patch rows
+                pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Bk, olanes_p),
+                                   lambda b, n, st, hp: (b, n, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((win + P, planes_v2), x.dtype),
+                pltpu.VMEM((Bk, elanes_p), x.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_fused_kernel_v2, t, dim, C, Cout, win, P,
+                              T, Bk),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=interpret,
+        )(spec.starts, hasp, lidx, xf, xf_p, xs0, patch,
+          wt.astype(x.dtype))
+        return out[:, :, :olanes].reshape(B, T, cells, Cout)
+
+    xs = _preslice(xf, C, t, dim, 1)
+    xs = _with_patch_rows(xs, spec, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nb),
@@ -249,7 +490,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, _grouped_now(dim), t, dim, C,
+        functools.partial(_fused_kernel, grouped, t, dim, C,
                           Cout, win, P, T, Bk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
@@ -289,6 +530,8 @@ def _fused_impl(x, w, spec, t, dim, interpret=False):
         return halo_conv_fwd(x, wt, spec, t, dim, interpret=interpret)
     nchunks = -(-C // max_c)
     cc = -(-C // nchunks)
+    if C % 8 == 0:
+        cc = _round_up(cc, 8)   # keep chunks v2-eligible (lane alignment)
     acc = None
     w3 = w.reshape(3 ** dim, C, Cout)
     for o in range(0, C, cc):

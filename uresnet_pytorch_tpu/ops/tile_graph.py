@@ -239,12 +239,15 @@ def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
 
 
 def _fold_occ_downsample(occ, t, dim):
+    # int sum > 0, NOT .any(): XLA's multi-axis bool reduce_or lowers
+    # pathologically on TPU (profiled 17 ms/step at bench scale)
     T = occ.shape[0]
+    oi = occ.astype(jnp.int32)
     if dim == 3:
-        o = occ.reshape(T, t // 2, 2, t // 2, 2, t // 2, 2)
-        return o.any(axis=(2, 4, 6)).reshape(T, (t // 2) ** 3)
-    o = occ.reshape(T, t // 2, 2, t // 2, 2)
-    return o.any(axis=(2, 4)).reshape(T, (t // 2) ** 2)
+        o = oi.reshape(T, t // 2, 2, t // 2, 2, t // 2, 2)
+        return (o.sum(axis=(2, 4, 6)) > 0).reshape(T, (t // 2) ** 3)
+    o = oi.reshape(T, t // 2, 2, t // 2, 2)
+    return (o.sum(axis=(2, 4)) > 0).reshape(T, (t // 2) ** 2)
 
 
 def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
@@ -260,15 +263,20 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     cc = decode(keys_c, grid_c, dim)
     valid_c = keys_c != SENTINEL
     Tf = keys_f.shape[0]
+    # ALL 2^dim corner lookups in one sort (each lookup call pays a
+    # concat+sort; stacking queries amortizes it 8x)
+    child_keys = jnp.stack([
+        encode(cc * 2 + jnp.asarray(
+            [(o >> (dim - 1 - d)) & 1 for d in range(dim)], jnp.int32),
+            valid_c, grid_f)
+        for o in range(2 ** dim)])                       # (2^dim, Tc)
+    cidx_all, cok_all = lookup(keys_f, child_keys)
     children = []
     for o in range(2 ** dim):
-        obits = jnp.asarray([(o >> (dim - 1 - d)) & 1 for d in range(dim)],
-                            jnp.int32)
-        child_key = encode(cc * 2 + obits, valid_c, grid_f)
-        cidx, cok = lookup(keys_f, child_key)
         # child idx expands by the fine/coarse tile-count ratio (~2-3):
         # widen the window accordingly
-        children.append(make_gather_spec(cidx.astype(jnp.int32), cok, Tf,
+        children.append(make_gather_spec(cidx_all[o].astype(jnp.int32),
+                                         cok_all[o], Tf,
                                          LINK_BLOCK, win_mult=6))
     # fine -> (parent, octant) for the decoder
     pk_all = encode(fc >> 1, valid, grid_c)
