@@ -70,10 +70,10 @@ def main():
     from uresnet_pytorch_tpu.iotools.synthetic import generate_event
 
     smoke = os.environ.get("BENCH_SMOKE") == "1"
-    # batch 4 is the measured sweet spot: batch 8 exceeds ~HBM capacity and
-    # XLA's rematerializer starts re-running the halo kernels (sweep r2:
-    # b2=3.15, b4=3.28, b8=2.09 ev/s at equal per-event shapes)
-    batch = int(os.environ.get("BENCH_BATCH", 2 if smoke else 4))
+    # batch 8 became the sweet spot once the fused halo+conv kernel removed
+    # the ext arrays (r3 sweep: b4=4.94, b8=5.66, b8+group_win_mult3=6.00
+    # ev/s; the r2-era b8 rematerializer collapse no longer reproduces)
+    batch = int(os.environ.get("BENCH_BATCH", 2 if smoke else 8))
     n_vox = int(os.environ.get("BENCH_VOXELS", 2000 if smoke else 100_000))
     spatial = 64 if smoke else 512
 

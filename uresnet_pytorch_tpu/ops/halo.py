@@ -57,8 +57,11 @@ HALO_CORR_CAP = 256
 # group spread (max-min of member starts) is absorbed by a taller window
 # (HALO_GROUP_WIN_MULT x block); residual stragglers still ride the
 # correction list, so this stays exact. 0 disables (per-offset windows).
+# Group win_mult swept on-chip at 512^3/1e5 vox, batch 8: mult=3 -> 6.00
+# ev/s vs mult=4 -> 5.66 (smaller window bytes win; corrections stay well
+# under cap: max 149/256 used, zero overflow, benchmarks/run_all.py).
 HALO_GROUP = int(os.environ.get("URESNET_HALO_GROUP", 1))
-HALO_GROUP_WIN_MULT = int(os.environ.get("URESNET_HALO_GROUP_WIN_MULT", 4))
+HALO_GROUP_WIN_MULT = int(os.environ.get("URESNET_HALO_GROUP_WIN_MULT", 3))
 
 
 @lru_cache(maxsize=None)

@@ -286,3 +286,144 @@ def join_table(a: SparseTensor, b: SparseTensor) -> SparseTensor:
     """scn.JoinTable (channel concat; same coordinate set)."""
     return a._replace(
         features=jnp.concatenate([a.features, b.features], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# surface tail: FullConvolution / SparseToDense / BLInputLayer / FCN
+# (SURVEY.md §2.10 lists them in the dependency's API; the reference model
+# itself uses none of these — provided for drop-in SCN coverage)
+# ---------------------------------------------------------------------------
+
+class FullConvolution(nn.Module):
+    """scn.FullConvolution(dimension, nIn, nOut, 2, 2, bias) — stride-2
+    transposed conv that ACTIVATES every child site of each active coarse
+    site (unlike Deconvolution, which restores a previously recorded fine
+    set). Output capacity = 2^dimension x input capacity; output keys are
+    the sorted child keys."""
+    dimension: int
+    nOut: int
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode, encode
+        dim = self.dimension
+        Kd = 2 ** dim
+        B, V, Cin = st.features.shape
+        w = self.param("w", _conv_init, (Kd, Cin, self.nOut))
+        S_f = st.spatial_size * 2
+
+        def one(keys, feats):
+            coords = decode(keys, st.spatial_size, dim)
+            valid = keys != SENTINEL
+            child_keys, child_feats = [], []
+            for o in range(Kd):
+                obits = jnp.asarray(
+                    [(o >> (dim - 1 - d)) & 1 for d in range(dim)],
+                    jnp.int32)
+                child_keys.append(encode(coords * 2 + obits, valid, S_f))
+                child_feats.append(feats @ w[o])
+            ck = jnp.concatenate(child_keys)             # (Kd*V,)
+            cf = jnp.concatenate(child_feats, axis=0)    # (Kd*V, nOut)
+            order = jnp.argsort(ck)
+            return ck[order], jnp.take(cf, order, axis=0)
+
+        keys_f, feats_f = jax.vmap(one)(st.keys, st.features)
+        num_f = st.num * Kd
+        mask = (jax.lax.broadcasted_iota(jnp.int32, keys_f.shape, 1)
+                < num_f[:, None])
+        feats_f = jnp.where(mask[..., None], feats_f, 0)
+        if self.bias:
+            b = self.param("b", nn.initializers.zeros, (self.nOut,))
+            feats_f = jnp.where(mask[..., None], feats_f + b, 0)
+        return SparseTensor(feats_f, keys_f, num_f, S_f)
+
+
+class SparseToDense(nn.Module):
+    """scn.SparseToDense(dimension, nPlanes): sparse tensor -> dense
+    (B, *spatial, C) array (channels-LAST — the TPU-native layout; torch
+    SCN emits channels-first)."""
+    dimension: int
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> jnp.ndarray:
+        from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode
+        dim = self.dimension
+        S = st.spatial_size
+        B, V, C = st.features.shape
+
+        def one(keys, feats, num):
+            coords = decode(keys, S, dim)
+            rows = jnp.arange(V)
+            valid = (keys != SENTINEL) & (rows < num)
+            flat = jnp.zeros((S ** dim, C), feats.dtype)
+            lin = jnp.zeros((V,), jnp.int32)
+            for d in range(dim):
+                lin = lin * S + coords[..., d]
+            lin = jnp.where(valid, lin, S ** dim)
+            return flat.at[lin].add(
+                jnp.where(valid[:, None], feats, 0),
+                mode="drop").reshape((S,) * dim + (C,))
+
+        return jax.vmap(one)(st.keys, st.features, st.num)
+
+
+class BLInputLayer(nn.Module):
+    """scn.BLInputLayer: batched input with MULTI-CHANNEL features
+    ((B, V, dim) coords + (B, V, C) features) — InputLayer generalized
+    past scalar values; duplicate coordinates merge per channel."""
+    dimension: int
+    spatial_size: int
+    mode: str = "sum"
+
+    @nn.compact
+    def __call__(self, coords, features, n_voxels
+                 ) -> Tuple[SparseTensor, jnp.ndarray]:
+        cap = coords.shape[1]
+        C = features.shape[-1]
+        outs = [jax.vmap(
+            lambda c, v, n: build_input_level(
+                c, v, n, self.spatial_size, cap, self.mode)
+        )(coords, features[..., ci], n_voxels) for ci in range(C)]
+        keys, num, _, row_of_input, _ = outs[0]
+        feats = jnp.stack([o[2] for o in outs], axis=-1)
+        return (SparseTensor(feats, keys, num, self.spatial_size),
+                row_of_input)
+
+
+class FullyConvolutionalNet(nn.Module):
+    """scn.FullyConvolutionalNet(dimension, reps, nPlanes,
+    residual_blocks=False): U-style encoder whose per-level outputs are
+    UnPooled back to full resolution and channel-joined (the SCN
+    'hypercolumn' FCN). Output nPlanes_total = sum(nPlanes)."""
+    dimension: int
+    reps: int
+    nPlanes: Tuple[int, ...]
+    residual_blocks: bool = False
+    leakiness: float = 0.0
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = False) -> SparseTensor:
+        dim = self.dimension
+        outs = []
+        links = []
+        for li, planes in enumerate(self.nPlanes):
+            for r in range(self.reps):
+                if self.residual_blocks and st.features.shape[-1] == planes:
+                    y = BatchNormLeakyReLU(self.leakiness)(st, train)
+                    y = SubmanifoldConvolution(dim, planes)(y)
+                    y = BatchNormLeakyReLU(self.leakiness)(y, train)
+                    y = SubmanifoldConvolution(dim, planes)(y)
+                    st = add_table(st, y)
+                else:
+                    st = SubmanifoldConvolution(dim, planes)(st)
+                    st = BatchNormLeakyReLU(self.leakiness)(st, train)
+            outs.append(st)
+            if li < len(self.nPlanes) - 1:
+                st, link = Convolution(dim, self.nPlanes[li + 1])(st)
+                links.append(link)
+        up = outs[-1]
+        for li in reversed(range(len(self.nPlanes) - 1)):
+            up = UnPooling(dim)(up, links[li])
+            up = join_table(outs[li], up)
+        return up
