@@ -110,14 +110,16 @@ def _sparse_cfg(smoke, batch):
 
 
 def _train_batch(smoke):
-    # full-scale sparse TRAINING holds remat block boundaries + optimizer
-    # state: batch 2 fits the 16G HBM, batch 4 does not
-    return 4 if smoke else 2
+    # r2: batch 2 was the training HBM ceiling (backward saved the halo-ext
+    # activations). The fused halo+conv kernel removed those; sweep with
+    # BENCH_TRAIN_BATCH (results recorded in results.json config 4).
+    return int(os.environ.get("BENCH_TRAIN_BATCH", 4 if smoke else 2))
 
 
 def config_3(smoke):
-    cfg, n_vox = _sparse_cfg(smoke, 4)
-    blob = _event_blob(cfg, 4, int(n_vox * 1.5))
+    b = int(os.environ.get("BENCH_BATCH", 4 if smoke else 8))
+    cfg, n_vox = _sparse_cfg(smoke, b)
+    blob = _event_blob(cfg, b, int(n_vox * 1.5))
     sec = _forward_model(cfg, blob)
     return {"metric": "sparse_inference_512c_events_per_sec",
             "value": cfg.batch_size / sec}

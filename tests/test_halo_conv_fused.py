@@ -119,6 +119,36 @@ def test_vjp_matches_autodiff_through_oracle():
                                atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dim,G,t,Cin,Cout,B,kw", [
+    (3, 8, 4, 3, 4, 1, {}),                               # v1 layout
+    (3, 8, 4, 16, 8, 2, {}),                              # v2 layout
+    (2, 16, 4, 5, 7, 2, {}),                              # 2D v1
+    (3, 8, 4, 16, 8, 2, dict(block=8, win_mult=1)),       # v2 + patches
+])
+def test_dw_kernel_matches_autodiff(dim, G, t, Cin, Cout, B, kw):
+    """The ext-free d_W kernel (`halo_conv_dw` + `toeplitz_adjoint`) matches
+    autodiff through the oracle — v1/v2 layouts, 2D, and the correction
+    path. This is the training-memory fix: the XLA `_dw_recompute` oracle
+    materializes the full halo-extended array in HBM (932 MB/conv at bench
+    scale), which capped training at batch 2."""
+    from uresnet_pytorch_tpu.ops.pallas.halo_conv import _dw_impl
+    rng = np.random.default_rng(13 + dim + Cin)
+    T = 64
+    keys = [_random_level(rng, G, dim, T, 40)[0] for _ in range(B)]
+    _, spec = _spec_batched(keys, G, dim, **kw)
+    if kw:
+        assert int(np.asarray(spec.corr_ok).sum()) > 0
+    x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
+    g = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cout)).astype(np.float32))
+    _, ref_vjp = jax.vjp(lambda xx, ww: _oracle(xx, spec, t, dim, ww), x, w)
+    _, ref_dw = ref_vjp(g)
+    d_w = _dw_impl(x, g, spec, t, dim, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_w), np.asarray(ref_dw),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_fused_v2_correction_path():
     """v2 layout (C mult of 8: planes-from-flat + slim group-0 pack) with a
     tiny window forcing pairs through the v2 patch rows — exact vs oracle.

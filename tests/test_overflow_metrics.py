@@ -56,6 +56,8 @@ def test_forced_overflow_is_reported(monkeypatch):
     monkeypatch.setattr(halo, "HALO_CORR_CAP", 0)
     monkeypatch.setattr(halo, "HALO_BLOCK", 8)
     monkeypatch.setattr(halo, "HALO_WIN_MULT", 1)
+    # the grouped-window path (default) reads its own taller multiplier
+    monkeypatch.setattr(halo, "HALO_GROUP_WIN_MULT", 1)
 
     cfg = _cfg(max_voxels=4096)
     tv = TrainVal(cfg)

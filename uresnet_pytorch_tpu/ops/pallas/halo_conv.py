@@ -26,9 +26,13 @@ emitting conv-ready flat output in one HBM pass:
 Backward: the adjoint of (global 3^d stencil restricted to the active
 tile set) is the same stencil with flipped weights on the same set, so
 **d_x runs through this same kernel** with `flip_weights(w)` and the
-unchanged Halo26Spec. d_W = ext(x)^T . g contracted per offset — phase 1
-recomputes ext via ops/halo.halo26_extend and contracts in XLA (27
-static-slice GEMMs, the standard weight-grad FLOPs).
+unchanged Halo26Spec. d_W runs as a second ext-free kernel (`halo_conv_dw`)
+that rebuilds the ext block in VMEM per grid step and accumulates
+ext_slice^T @ g into one revisited f32 block — the banded-Toeplitz
+cotangent — mapped to d_w by the linear transpose of `toeplitz_weights`.
+(The earlier XLA path, `_dw_recompute`, materialized the full halo-extended
+array in HBM — 932 MB per level-0 conv at batch 4 — and is kept only as
+the correctness oracle.)
 
 Replaces SparseConvNet's fused CUDA gather-GEMM-scatter (SURVEY.md §2.13,
 expected SCN/CUDA/*.cu) as one TPU kernel.
@@ -231,13 +235,13 @@ def _patch_rows_v2(xf, spec, t, dim, C):
     return jnp.concatenate([seg0, seg1, seg2], axis=-1)
 
 
-def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
-                     starts_ref, hasp_ref, lidx_ref, xblk_ref, xf_ref,
-                     xs0_ref, patch_ref, wt_ref, out_ref, win_scr, ext_scr,
-                     sems):
-    from uresnet_pytorch_tpu.ops.halo import halo_groups
-    b = pl.program_id(0)
-    n = pl.program_id(1)
+def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
+                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, ext_scr,
+                  sems):
+    """Stage 1 of the v2 kernels: fill ext_scr (Bk, ecells*C) with the
+    halo-extended block — three group window DMAs + one-hot MXU gathers +
+    gated patch-row corrections. Shared by the forward conv kernel and the
+    d_W kernel (identical ext semantics by construction)."""
     (_, _, _, slab_len, ext_plan, _, body_plan, _) = _plans(t, dim)
     offs = halo_offsets(dim)
     K = len(offs)
@@ -246,7 +250,8 @@ def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
     pack_off, pk0, _ = _pack0_cells(t, dim)
     seg0_l, seg1_l, planes_v2 = _v2_layout(t, dim, C)
     seg2_b = seg0_l + seg1_l
-    dt = out_ref.dtype
+    dt = ext_scr.dtype
+    Bk = ext_scr.shape[0]
     lanes = (t ** dim) * C
 
     # ---- stage 1: three group window DMAs (+ persistent patch rows) ----
@@ -315,7 +320,10 @@ def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
                         ext_scr[:, e0 * C:(e0 + ln) * C]
                         + resp[:, sp * C:(sp + ln) * C])
 
-    # ---- stage 2: Toeplitz conv dots from ext_scr -> out_ref ----
+
+def _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref):
+    """Stage 2: Toeplitz conv dots from ext_scr -> out_ref (flat)."""
+    dt = out_ref.dtype
     groups, span = _out_groups(t, dim)
     Kl = span * C
     No = t * Cout
@@ -329,15 +337,66 @@ def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
         out_ref[0, :, oc * Cout:oc * Cout + No] = acc.astype(dt)
 
 
-def _fused_kernel(grouped, t, dim, C, Cout, win, P, Tsrc, Bk,
-                  starts_ref, hasp_ref, lidx_ref, xblk_ref, xs_ref, wt_ref,
-                  out_ref, win_scr, ext_scr, sems):
+def _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref):
+    """Weight-gradient stage: out_ref[dd] += sum over output row-groups of
+    ext_slice(dd)^T @ g_group, the exact adjoint of `_conv_stage` w.r.t.
+    the banded Toeplitz weights (f32 accumulation; out block revisited
+    across the whole grid, flushed to HBM once at the end)."""
+    groups, span = _out_groups(t, dim)
+    Kl = span * C
+    No = t * Cout
+
+    @pl.when(jnp.logical_and(b == 0, n == 0))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    gb = g_ref[0]                                      # (Bk, olanes_p)
+    for dd in range(3):
+        acc = None
+        for (ext0s, oc) in groups:
+            s = ext_scr[:, ext0s[dd] * C:ext0s[dd] * C + Kl]
+            ggrp = gb[:, oc * Cout:oc * Cout + No]
+            prod = jax.lax.dot_general(
+                s, ggrp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (Kl, No)
+            acc = prod if acc is None else acc + prod
+        out_ref[dd, 0:Kl, 0:No] += acc
+
+
+def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
+                     starts_ref, hasp_ref, lidx_ref, xblk_ref, xf_ref,
+                     xs0_ref, patch_ref, wt_ref, out_ref, win_scr, ext_scr,
+                     sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
+    _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
+                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, ext_scr,
+                  sems)
+    _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
+
+
+def _dw_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
+                  starts_ref, hasp_ref, lidx_ref, xblk_ref, xf_ref,
+                  xs0_ref, patch_ref, g_ref, out_ref, win_scr, ext_scr,
+                  sems):
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
+                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, ext_scr,
+                  sems)
+    _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref)
+
+
+def _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
+                  hasp_ref, lidx_ref, xblk_ref, xs_ref, win_scr, ext_scr,
+                  sems):
+    """Stage 1 of the v1 kernels (packed preslice layout) — see
+    `_build_ext_v2`."""
     (_, _, _, _, ext_plan, _, body_plan, _) = _plans(t, dim)
     lane_off, lane_w, _ = _lane_layout(t, dim, C)
     K = len(halo_offsets(dim))
-    dt = out_ref.dtype
+    dt = ext_scr.dtype
+    Bk = ext_scr.shape[0]
 
     # ---- stage 1: build the halo-extended block in ext_scr ----
     # one DMA per d0 group when the spec carries group-equal starts
@@ -385,18 +444,27 @@ def _fused_kernel(grouped, t, dim, C, Cout, win, P, Tsrc, Bk,
                         ext_scr[:, e0 * C:(e0 + ln) * C]
                         + resp[:, sp * C:(sp + ln) * C])
 
-    # ---- stage 2: Toeplitz conv dots from ext_scr -> out_ref ----
-    groups, span = _out_groups(t, dim)
-    Kl = span * C
-    No = t * Cout
-    for (ext0s, oc) in groups:
-        acc = None
-        for d0 in range(3):
-            s = ext_scr[:, ext0s[d0] * C:ext0s[d0] * C + Kl]
-            prod = jnp.dot(s, wt_ref[d0],
-                           preferred_element_type=jnp.float32)
-            acc = prod if acc is None else acc + prod
-        out_ref[0, :, oc * Cout:oc * Cout + No] = acc.astype(dt)
+
+def _fused_kernel(grouped, t, dim, C, Cout, win, P, Tsrc, Bk,
+                  starts_ref, hasp_ref, lidx_ref, xblk_ref, xs_ref, wt_ref,
+                  out_ref, win_scr, ext_scr, sems):
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
+                  hasp_ref, lidx_ref, xblk_ref, xs_ref, win_scr, ext_scr,
+                  sems)
+    _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
+
+
+def _dw_kernel_v1(grouped, t, dim, C, Cout, win, P, Tsrc, Bk,
+                  starts_ref, hasp_ref, lidx_ref, xblk_ref, xs_ref, g_ref,
+                  out_ref, win_scr, ext_scr, sems):
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
+                  hasp_ref, lidx_ref, xblk_ref, xs_ref, win_scr, ext_scr,
+                  sems)
+    _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref)
 
 
 def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
@@ -500,6 +568,125 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
     return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
 
+def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Weight gradient of the fused halo conv WITHOUT materializing the
+    halo-extended array in HBM: x (B, T, t^dim, Cin), g (B, T, t^dim, Cout)
+    -> banded-Toeplitz cotangent (3, span*Cin, t*Cout) f32.
+
+    Same stage-1 ext build as the forward (window DMAs + one-hot gathers +
+    patch corrections, in VMEM); the contraction accumulates into one
+    revisited f32 output block across the whole grid. Map to d_w with
+    `toeplitz_adjoint` (the linear transpose of `toeplitz_weights`)."""
+    B, T, cells, C = x.shape
+    Cout = g.shape[-1]
+    ecells = (t + 2) ** dim
+    win = spec.window.shape[-1]
+    P = spec.corr_src.shape[1]
+    nb = spec.starts.shape[2]
+    Bk = T // nb
+    lanes = cells * C
+    olanes = cells * Cout
+    lanes_p = _round_up(lanes, 128)
+    olanes_p = _round_up(olanes, 128)
+    _, _, planes_p = _lane_layout(t, dim, C)
+    elanes_p = _round_up(ecells * C, 128)
+    _, span = _out_groups(t, dim)
+    Kl = span * C
+    No = t * Cout
+    Kl_p = _round_up(Kl, 8)
+    No_p = _round_up(No, 128)
+
+    xf = jnp.pad(x.reshape(B, T, lanes),
+                 ((0, 0), (0, 0), (0, lanes_p - lanes)))
+    gf = jnp.pad(g.astype(x.dtype).reshape(B, T, olanes),
+                 ((0, 0), (0, 0), (0, olanes_p - olanes)))
+    lidx = spec.lidx
+    hasp = spec.hasp
+    grouped = _grouped_now(dim)
+    v2 = _v2_layout(t, dim, C) if grouped else None
+    out_spec = pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp: (0, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((3, Kl_p, No_p), jnp.float32)
+
+    if v2 is not None:
+        seg0_l, seg1_l, planes_v2 = v2
+        patch = _patch_rows_v2(xf, spec, t, dim, C)
+        rowpad = ((0, 0), (0, win), (0, 0))
+        xf_p = jnp.pad(xf, rowpad)
+        xs0 = jnp.pad(_preslice0(xf, C, t, dim), rowpad)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nb),
+            in_specs=[
+                pl.BlockSpec((1, 1, lidx.shape[2], Bk),
+                             lambda b, n, st, hp: (b, n, 0, 0)),
+                pl.BlockSpec((1, Bk, lanes_p),
+                             lambda b, n, st, hp: (b, n, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),   # xf_p (row windows)
+                pl.BlockSpec(memory_space=pl.ANY),   # xs0
+                pl.BlockSpec(memory_space=pl.ANY),   # patch rows
+                pl.BlockSpec((1, Bk, olanes_p),
+                             lambda b, n, st, hp: (b, n, 0)),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((win + P, planes_v2), x.dtype),
+                pltpu.VMEM((Bk, elanes_p), x.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        )
+        dwt = pl.pallas_call(
+            functools.partial(_dw_kernel_v2, t, dim, C, Cout, win, P,
+                              T, Bk),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=interpret,
+        )(spec.starts, hasp, lidx, xf, xf_p, xs0, patch, gf)
+        return dwt[:, :Kl, :No]
+
+    xs = _preslice(xf, C, t, dim, 1)
+    xs = _with_patch_rows(xs, spec, win)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, lidx.shape[2], Bk),
+                         lambda b, n, st, hp: (b, n, 0, 0)),
+            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp: (b, n, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, Bk, olanes_p), lambda b, n, st, hp: (b, n, 0)),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((win + P, planes_p), x.dtype),
+            pltpu.VMEM((Bk, elanes_p), x.dtype),
+            pltpu.SemaphoreType.DMA((len(halo_offsets(dim)) + 1,)),
+        ],
+    )
+    dwt = pl.pallas_call(
+        functools.partial(_dw_kernel_v1, grouped, t, dim, C, Cout, win, P,
+                          T, Bk),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(spec.starts, hasp, lidx, xf, xs, gf)
+    return dwt[:, :Kl, :No]
+
+
+def toeplitz_adjoint(d_wt: jnp.ndarray, t: int, dim: int, Cin: int,
+                     Cout: int) -> jnp.ndarray:
+    """(3, span*Cin, t*Cout) banded-block cotangent -> d_w (3^dim, Cin,
+    Cout): the linear transpose of `toeplitz_weights` (exact — the band
+    build is linear in w)."""
+    f = lambda w: toeplitz_weights(w, t, dim, jnp.float32)
+    ex = jax.ShapeDtypeStruct((3 ** dim, Cin, Cout), jnp.float32)
+    (d_w,) = jax.linear_transpose(f, ex)(d_wt.astype(jnp.float32))
+    return d_w
+
+
 def _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize):
     """Estimated VMEM bytes per input channel for chunk sizing."""
     packl = -(-_lane_layout(t, dim, 32)[2] // 32)
@@ -540,6 +727,32 @@ def _fused_impl(x, w, spec, t, dim, interpret=False):
                              interpret=interpret).astype(jnp.float32)
         acc = part if acc is None else acc + part
     return acc.astype(x.dtype)
+
+
+def _dw_impl(x, g, spec, t, dim, interpret=False):
+    """d_w via the ext-free Pallas kernel, Cin-chunked like `_fused_impl`
+    (per-chunk banded cotangents map to disjoint Cin rows of d_w)."""
+    B, T, cells, C = x.shape
+    Cout = g.shape[-1]
+    itemsize = np.dtype(x.dtype).itemsize
+    Bk = T // spec.starts.shape[2]
+    P = spec.corr_src.shape[1]
+    win = spec.window.shape[-1]
+    per_c = _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize)
+    max_c = max(8, _SCRATCH_BUDGET // per_c)
+    if C <= max_c:
+        dwt = halo_conv_dw(x, g, spec, t, dim, interpret=interpret)
+        return toeplitz_adjoint(dwt, t, dim, C, Cout)
+    nchunks = -(-C // max_c)
+    cc = -(-C // nchunks)
+    if C % 8 == 0:
+        cc = _round_up(cc, 8)   # keep chunks v2-eligible (lane alignment)
+    parts = []
+    for o in range(0, C, cc):
+        xc = x[..., o:o + cc]
+        dwt = halo_conv_dw(xc, g, spec, t, dim, interpret=interpret)
+        parts.append(toeplitz_adjoint(dwt, t, dim, xc.shape[-1], Cout))
+    return jnp.concatenate(parts, axis=1)
 
 
 def _dw_recompute(x, g, spec, t, dim):
@@ -587,7 +800,10 @@ def _fhc_bwd(t, dim, res, g):
     x, w, spec = res
     # adjoint data path: same fused kernel, flipped stencil, same spec
     d_x = _fused_impl(g, flip_weights(w).astype(g.dtype), spec, t, dim)
-    d_w = _dw_recompute(x, g, spec, t, dim).astype(w.dtype)
+    # weight grad: ext-free Pallas kernel (the XLA `_dw_recompute` oracle
+    # materialized the full halo-extended array per conv — 932 MB at level
+    # 0 / batch 4 — and capped training at batch 2)
+    d_w = _dw_impl(x, g, spec, t, dim).astype(w.dtype)
     d_spec = jax.tree_util.tree_map(
         lambda v: np.zeros(v.shape, jax.dtypes.float0), spec)
     return d_x, d_w, d_spec
