@@ -107,47 +107,74 @@ class UResNetSparseTiled(nn.Module):
 
         masks = [mask_of(l) for l in range(nlev)]
 
-        # remat residual blocks in TRAINING only: the backward pass would
-        # otherwise hold every halo-extended activation (SURVEY.md §7).
-        # Inference must not pay for it — profiling showed the checkpoint
-        # regions re-running the halo kernels even in forward-only programs.
-        Block = (nn.remat(SparseResBlockTile, static_argnums=(4, 5))
-                 if train else SparseResBlockTile)
+        # Remat at STAGE granularity in TRAINING only (inference must not
+        # pay: profiling showed checkpoint regions re-running the halo
+        # kernels even in forward-only programs). Per-BLOCK remat (rounds
+        # 1-2) still saved every block-boundary activation (~268 MB each at
+        # level 0, batch 4) and capped training at batch 2 even after the
+        # ext-free backward kernels; whole encoder/decoder stages save only
+        # their level-boundary inputs + the skip outputs. The stage fns are
+        # module-first so nn.remat lifts them with identical param paths
+        # (static_argnums counts the module as arg 0).
+        def _enc_stage(mdl, x, lev, mask, nxt_occ, link, l):
+            for r in range(cfg.reps):
+                x = SparseResBlockTile(cfg, planes[l],
+                                       name=f"enc{l}_block{r}")(
+                    x, lev, mask, tsz[l], train)
+            if l == nlev - 1:
+                return x, x
+            y = _bn_flat(cfg, f"down{l}_bnact", mdl, x, mask, train)
+            w = mdl.param(f"down{l}_w", _conv_init,
+                          (2 ** dim, y.shape[-1], planes[l + 1]))
+            y = downsample_conv_tiled(
+                y.astype(dt), link, tsz[l], tsz[l + 1], dim, w)
+            y = y * nxt_occ[..., None].astype(y.dtype)
+            return x, y                              # (skip, next-level in)
+
+        def _dec_stage(mdl, x, skip, lev, mask, mask_up, occ, link, l):
+            y = _bn_flat(cfg, f"up{l}_bnact", mdl, x, mask_up, train)
+            w = mdl.param(f"up{l}_w", _conv_init,
+                          (2 ** dim, y.shape[-1], planes[l]))
+            y = upsample_conv_tiled(
+                y.astype(dt), link, occ, tsz[l], tsz[l + 1], dim, w)
+            y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
+            for r in range(cfg.reps):
+                y = SparseResBlockTile(cfg, planes[l],
+                                       name=f"dec{l}_block{r}")(
+                    y, lev, mask, tsz[l], train)
+            return y
+
+        def _head_stage(mdl, x, mask):
+            y = _bn_flat(cfg, "head_bnact", mdl, x, mask, train)
+            w_head = mdl.param("head_w", nn.initializers.lecun_normal(),
+                               (y.shape[-1], cfg.num_class))
+            b_head = mdl.param("head_b", nn.initializers.zeros,
+                               (cfg.num_class,))
+            return jnp.einsum("btvc,cd->btvd", y.astype(jnp.float32),
+                              w_head) + b_head       # (B, T0, cells, nc)
+
+        if train:
+            _enc_stage = nn.remat(_enc_stage, static_argnums=(6,))
+            _dec_stage = nn.remat(_dec_stage, static_argnums=(8,))
+            _head_stage = nn.remat(_head_stage)
+
         x = SMConvTile(cfg, planes[0], name="stem")(
             graph.feats0.astype(dt), levels[0], tsz[0])
         skips = []
         for l in range(nlev):
-            for r in range(cfg.reps):
-                x = Block(cfg, planes[l], name=f"enc{l}_block{r}")(
-                    x, levels[l], masks[l], tsz[l], train)
+            nxt_occ = (levels[l + 1].occ if l < nlev - 1
+                       else levels[l].occ)           # unused at bottom
+            link = links[l] if l < nlev - 1 else links[-1]
+            skip, x = _enc_stage(self, x, levels[l], masks[l], nxt_occ,
+                                 link, l)
             if l < nlev - 1:
-                skips.append(x)
-                x = _bn_flat(cfg, f"down{l}_bnact", self, x, masks[l], train)
-                w = self.param(f"down{l}_w", _conv_init,
-                               (2 ** dim, x.shape[-1], planes[l + 1]))
-                x = downsample_conv_tiled(
-                    x.astype(dt), links[l], tsz[l], tsz[l + 1], dim, w)
-                x = x * levels[l + 1].occ[..., None].astype(x.dtype)
+                skips.append(skip)
 
         for l in reversed(range(nlev - 1)):
-            x = _bn_flat(cfg, f"up{l}_bnact", self, x, masks[l + 1], train)
-            w = self.param(f"up{l}_w", _conv_init,
-                           (2 ** dim, x.shape[-1], planes[l]))
-            x = upsample_conv_tiled(
-                x.astype(dt), links[l], levels[l].occ, tsz[l], tsz[l + 1],
-                dim, w)
-            x = jnp.concatenate([x, skips[l].astype(x.dtype)], axis=-1)
-            for r in range(cfg.reps):
-                x = Block(cfg, planes[l], name=f"dec{l}_block{r}")(
-                    x, levels[l], masks[l], tsz[l], train)
+            x = _dec_stage(self, x, skips[l], levels[l], masks[l],
+                           masks[l + 1], levels[l].occ, links[l], l)
 
-        x = _bn_flat(cfg, "head_bnact", self, x, masks[0], train)
-        w_head = self.param("head_w", nn.initializers.lecun_normal(),
-                            (x.shape[-1], cfg.num_class))
-        b_head = self.param("head_b", nn.initializers.zeros,
-                            (cfg.num_class,))
-        logits_tiles = jnp.einsum("btvc,cd->btvd", x.astype(jnp.float32),
-                                  w_head) + b_head    # (B, T0, cells, nc)
+        logits_tiles = _head_stage(self, x, masks[0])
 
         # back to blob row order (reference OutputLayer inverse permutation):
         # one flat gather per forward at (tile, cell)
