@@ -53,6 +53,57 @@ def test_lookup():
     assert np.asarray(keys)[int(idx[0])] == np.asarray(q)[0]
 
 
+def test_lookup_monotone_matches_lookup():
+    """Rank-windowed lookup == sort lookup on offset-neighbor queries (the
+    monotone family it is built for), across sizes that exercise the
+    fallback (V<=win), multi-hop windows, and the correction path."""
+    from uresnet_pytorch_tpu.ops.coords import lookup_monotone
+    rng = np.random.default_rng(7)
+    offs = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+            for c in (-1, 0, 1) if (a, b, c) != (0, 0, 0)]
+    for V, G in [(128, 8), (1024, 32), (4096, 64)]:
+        # clustered random-walk coordinates (track-like key clumping)
+        pts, p = [], rng.integers(0, G, 3)
+        while len(pts) < V * 2:
+            p = np.clip(p + rng.integers(-1, 2, 3), 0, G - 1)
+            pts.append(p.copy())
+            if rng.random() < 0.02:
+                p = rng.integers(0, G, 3)
+        pts = np.unique(np.array(pts), axis=0)
+        n = min(len(pts), V)
+        co = np.zeros((V, 3), np.int32)
+        co[:n] = pts[:n]
+        valid = np.arange(V) < n
+        keys = jnp.sort(encode(jnp.asarray(co), jnp.asarray(valid), G))
+        kc = decode(keys, G, 3)
+        kv = keys != SENTINEL
+        qs = jnp.stack([encode(kc + jnp.asarray(o, jnp.int32), kv, G)
+                        for o in offs])
+        i0, f0 = lookup(keys, qs)
+        i1, f1, nd = lookup_monotone(keys, qs, corr_cap=512)
+        assert int(nd) == 0
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+        m = np.asarray(f0)
+        np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+
+
+def test_lookup_monotone_drops_counted_never_wrong():
+    """Adversarial (non-monotone) queries: beyond-budget pairs are dropped
+    AND counted; resolved pairs are never false positives."""
+    from uresnet_pytorch_tpu.ops.coords import lookup_monotone
+    rng = np.random.default_rng(3)
+    keys = jnp.asarray(np.sort(rng.integers(0, 1 << 20, 2048)), jnp.int32)
+    qs = jnp.asarray(rng.integers(0, 1 << 20, (4, 2048)), jnp.int32)
+    i0, f0 = lookup(keys, qs)
+    i1, f1, nd = lookup_monotone(keys, qs, corr_cap=64)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert not (f1 & ~f0).any()           # no false positives
+    missed = int((f0 & ~f1).sum())
+    assert missed <= int(nd)              # every miss is counted
+    m = f1
+    np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+
+
 # ------------------------------------------------------------- input level
 def _input_level(coords, values, n, S=16, cap=16, mode="sum"):
     return build_input_level(jnp.asarray(coords, jnp.int32),

@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode, encode, lookup
+from uresnet_pytorch_tpu.ops.coords import (SENTINEL, compact_marked, decode,
+                                             encode, flat_cumsum, lookup,
+                                             lookup_monotone,
+                                             monotone_positions)
+
+_flat_cumsum = flat_cumsum       # back-compat aliases (helpers moved to
+#                                  ops/coords.py, shared with lookup_monotone)
 
 import os
 
@@ -77,23 +83,6 @@ def halo_groups(dim: int) -> tuple:
             groups.append((start, k))
             start = k
     return tuple(groups)
-
-
-def _flat_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumsum of a flat int array via a two-level decomposition:
-    XLA's single-axis cumsum over millions of elements lowers poorly on TPU
-    (profiled ~29 ms per call at 6M elements); a (rows, 512) lane cumsum +
-    a short row-offset scan is >10x faster."""
-    n = x.shape[0]
-    lane = 512
-    if n <= lane:
-        return jnp.cumsum(x)
-    rows = -(-n // lane)
-    xp = jnp.pad(x, (0, rows * lane - n)).reshape(rows, lane)
-    within = jnp.cumsum(xp, axis=1)
-    base = jnp.concatenate([jnp.zeros((1,), x.dtype),
-                            jnp.cumsum(within[:, -1])[:-1]])
-    return (within + base[:, None]).reshape(-1)[:n]
 
 
 @lru_cache(maxsize=None)
@@ -195,12 +184,15 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     coords = decode(keys, grid, dim)
     valid = keys != SENTINEL
 
-    # all 3^d-1 neighbor keys resolved in ONE sort-based search (26 separate
-    # lookups each pay a concat+sort of 2T; one call sorts (K+1)T once)
+    # all 3^d-1 neighbor maps via the rank-windowed lookup: each offset's
+    # queries are sorted wherever valid (the codec is linear in coords), so
+    # every block of queries searches only a small key window anchored at
+    # its leader's rank — replaces the (K+1)T concat-sort, the graph
+    # build's measured dominant cost (~146 ms/step at bench scale, L0)
     nkeys = jnp.stack([
         encode(coords + jnp.asarray(off, jnp.int32), valid, grid)
         for off in offs])                              # (K, T)
-    idx, ok = lookup(keys, nkeys)
+    idx, ok, n_dropped = lookup_monotone(keys, nkeys)
     idx = idx.astype(jnp.int32)
 
     Bk = min(block, T)
@@ -225,29 +217,26 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     local = idx - jnp.repeat(starts, Bk, axis=1)
     inband = ok & (local >= 0) & (local < win)
     bad = (ok & ~inband).reshape(-1)                    # (K*T,)
-    pos = _flat_cumsum(bad.astype(jnp.int32)) - 1
-    tgt = jnp.where(bad & (pos < corr_cap), pos, corr_cap)
+    # scatter-free compaction (see compact_marked): positions of the first
+    # corr_cap out-of-window pairs in (K, T)-flat order
+    fi, corr_ok, n_bad = compact_marked(bad, corr_cap)
     flat_idx = idx.reshape(-1)
-    rows = jnp.tile(jnp.arange(T, dtype=jnp.int32), (K,))
-    offk = jnp.repeat(jnp.arange(K, dtype=jnp.int32), T)
-    corr_src = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(
-        flat_idx, mode="drop")
-    corr_dst = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(rows, mode="drop")
-    corr_off = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(offk, mode="drop")
-    n_bad = jnp.sum(bad)
-    corr_ok = jnp.arange(corr_cap) < jnp.minimum(n_bad, corr_cap)
-    overflow = jnp.maximum(n_bad - corr_cap, 0).astype(jnp.int32)
+    corr_src = jnp.where(corr_ok, jnp.take(flat_idx, fi), 0)
+    corr_dst = jnp.where(corr_ok, fi % T, 0).astype(jnp.int32)
+    corr_off = jnp.where(corr_ok, fi // T, 0).astype(jnp.int32)
+    # n_dropped: neighbor pairs the windowed lookup could not resolve
+    # within its own correction budget — same drop-and-count contract
+    overflow = (jnp.maximum(n_bad - corr_cap, 0) + n_dropped).astype(jnp.int32)
 
     # kernel-ready local indices: window-local where inband; patch slot
     # (win + p) where the pair rides the correction list; -1 otherwise
     local2 = local.reshape(K, T)
     if corr_cap:
-        slot = jnp.arange(corr_cap, dtype=jnp.int32)
-        flat_pos = jnp.where(corr_ok, corr_off * T + corr_dst, K * T)
-        patch_of = jnp.full((K * T,), -1, jnp.int32).at[flat_pos].set(
-            slot, mode="drop").reshape(K, T)
-        lidx = jnp.where(inband, local2,
-                         jnp.where(patch_of >= 0, win + patch_of, -1))
+        lidx_flat = jnp.where(inband, local2, -1).reshape(-1)
+        tgt = jnp.where(corr_ok, fi, K * T)
+        lidx = lidx_flat.at[tgt].set(
+            win + jnp.arange(corr_cap, dtype=jnp.int32),
+            mode="drop").reshape(K, T)
         blk = jnp.where(corr_ok, corr_dst // Bk, nb)
         hasp = jnp.zeros((nb,), jnp.int32).at[blk].set(1, mode="drop")
     else:

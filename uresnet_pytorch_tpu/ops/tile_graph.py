@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from uresnet_pytorch_tpu.config import URESNetConfig
-from uresnet_pytorch_tpu.ops.coords import SENTINEL, decode, encode, lookup
+from uresnet_pytorch_tpu.ops.coords import (SENTINEL, compact_marked, decode,
+                                             encode, lookup, lookup_monotone)
 from uresnet_pytorch_tpu.ops.halo import Halo26Spec, build_halo26
 from uresnet_pytorch_tpu.ops.sparse_graph import _dedup_sorted
 
@@ -91,7 +92,7 @@ def graph_overflows(graph: "TileGraph") -> jnp.ndarray:
     for link in graph.links:
         for spec in link.children:
             tot = tot + spec.overflow.sum()
-        tot = tot + link.parent.overflow.sum()
+        tot = tot + link.parent.overflow.sum() + link.overflow.sum()
     return tot
 
 
@@ -154,15 +155,11 @@ def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
     local = idx - jnp.repeat(starts, Bk)
     inband = ok & (local >= 0) & (local < win)
     bad = ok & ~inband
-    # compact the out-of-window pairs
-    pos = jnp.cumsum(bad) - 1
-    tgt = jnp.where(bad & (pos < corr_cap), pos, corr_cap)
-    corr_src = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(
-        idx.astype(jnp.int32), mode="drop")
-    rows = jnp.arange(N, dtype=jnp.int32)
-    corr_dst = jnp.zeros((corr_cap,), jnp.int32).at[tgt].set(rows, mode="drop")
-    n_bad = jnp.sum(bad)
-    corr_ok = jnp.arange(corr_cap) < jnp.minimum(n_bad, corr_cap)
+    # scatter-free compaction of the out-of-window pairs (ops/halo.py
+    # compact_marked rationale: XLA scatter was the graph build's top cost)
+    fi, corr_ok, n_bad = compact_marked(bad, corr_cap)
+    corr_src = jnp.where(corr_ok, jnp.take(idx, fi), 0).astype(jnp.int32)
+    corr_dst = jnp.where(corr_ok, fi, 0).astype(jnp.int32)
     overflow = jnp.maximum(n_bad - corr_cap, 0).astype(jnp.int32)
     return GatherSpec(idx.astype(jnp.int32), inband, starts,
                       corr_src, corr_dst, corr_ok, overflow,
@@ -270,7 +267,9 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
             [(o >> (dim - 1 - d)) & 1 for d in range(dim)], jnp.int32),
             valid_c, grid_f)
         for o in range(2 ** dim)])                       # (2^dim, Tc)
-    cidx_all, cok_all = lookup(keys_f, child_keys)
+    # corner queries of sorted coarse keys are monotone (coord doubling
+    # preserves lexicographic key order) — rank-windowed lookup applies
+    cidx_all, cok_all, cdrop = lookup_monotone(keys_f, child_keys)
     children = []
     for o in range(2 ** dim):
         # child idx expands by the fine/coarse tile-count ratio (~2-3):
@@ -278,9 +277,11 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
         children.append(make_gather_spec(cidx_all[o].astype(jnp.int32),
                                          cok_all[o], Tf,
                                          LINK_BLOCK, win_mult=6))
-    # fine -> (parent, octant) for the decoder
-    pk_all = encode(fc >> 1, valid, grid_c)
-    pidx, pok = lookup(keys_c, pk_all)
+    # fine -> (parent, octant) for the decoder; parent keys of sorted fine
+    # keys are non-decreasing (coord halving preserves lex order)
+    pidx, pok, pdrop = lookup_monotone(
+        keys_c, encode(fc >> 1, valid, grid_c)[None])
+    pidx, pok = pidx[0], pok[0]
     corner = jnp.zeros((Tf,), jnp.int32)
     for d in range(dim):
         corner = (corner << 1) | (fc[..., d] & 1)
@@ -292,7 +293,8 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     # (upsample runs only once per level transition).
     parent = make_gather_spec(pidx.astype(jnp.int32), pok, Tc, LINK_BLOCK,
                               corr_cap=4096, win_mult=4)
-    return keys_c, num_c, tuple(children), parent, corner, n_spill
+    return (keys_c, num_c, tuple(children), parent, corner, n_spill,
+            (cdrop + pdrop).astype(jnp.int32))
 
 
 def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
@@ -328,7 +330,8 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
             if t_c == t_l:
                 if Tc > keys.shape[1]:
                     Tc = keys.shape[1]
-                keys_c, num_c, children, parent, octant, spill_c = jax.vmap(
+                (keys_c, num_c, children, parent, octant, spill_c,
+                 lk_drop) = jax.vmap(
                     lambda k, oa: _down_link(k, oa, G_l, dim, Tc))(keys, occ_any)
                 tile_spill = tile_spill + spill_c.astype(jnp.int32)
                 occ_h = jax.vmap(
@@ -353,8 +356,11 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
                 octant = jnp.zeros_like(ident)
                 occ_c = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
+                lk_drop = jnp.zeros_like(num_c)
+            # lk_drop: link-lookup pairs the rank-windowed lookup dropped
+            # (counted into the same overflow surface as spec corrections)
             links.append(TileDownLink(children, parent, octant,
-                                      jnp.zeros_like(num_c)))
+                                      lk_drop.astype(jnp.int32)))
             keys, num, occ = keys_c, num_c, occ_c
 
     return TileGraph(tuple(levels), tuple(links), feats0[..., None],
