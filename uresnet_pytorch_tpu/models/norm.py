@@ -17,6 +17,7 @@ identical batch_stats).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -26,8 +27,12 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
-        """x (B, V, C), mask (B, V) bool."""
+        """x (..., C), mask (...) bool — rank-agnostic so the tiled engine
+        can pass (B, T, cells, C) directly: reshaping to (B, T*cells, C)
+        first was measured to force f32 layout-transpose copies around
+        every BN at bench scale (~50 ms/step)."""
         C = x.shape[-1]
+        red_axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -39,8 +44,8 @@ class MaskedBatchNorm(nn.Module):
             m = mask[..., None].astype(jnp.float32)
             xf = x.astype(jnp.float32) * m
             count = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(xf, axis=(0, 1)) / count
-            var = jnp.sum(jnp.square(xf), axis=(0, 1)) / count - jnp.square(mean)
+            mean = jnp.sum(xf, axis=red_axes) / count
+            var = jnp.sum(jnp.square(xf), axis=red_axes) / count - jnp.square(mean)
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
@@ -50,7 +55,13 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x.astype(jnp.float32) - mean) * jnp.reciprocal(
-            jnp.sqrt(var + self.epsilon))
-        y = y * scale + bias
-        return y.astype(x.dtype)
+        # fold into ONE per-channel affine applied in x's own dtype:
+        # x.astype(f32) materialized a full f32 activation buffer whose
+        # layout conflicted with the producing einsum/kernel (measured
+        # ~6 ms transpose-copy per BN at bench scale). a/b are computed in
+        # f32 and rounded once; for f32 inputs nothing changes but fp
+        # reassociation.
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        a = (scale * inv).astype(x.dtype)
+        b = (bias - mean * scale * inv).astype(x.dtype)
+        return x * a + b

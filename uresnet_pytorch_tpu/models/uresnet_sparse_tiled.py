@@ -23,13 +23,12 @@ from uresnet_pytorch_tpu.ops.tile_graph import (
 
 
 def _bn_flat(cfg, name, module, y, mask, train):
-    """Shared BNAct over flattened tile rows; re-zero inactive cells (the BN
-    bias would otherwise leak nonzeros into the dense tile interior and break
-    the submanifold invariant)."""
-    B, T, cells, C = y.shape
-    out = BNAct(cfg, name=name, parent=module)(
-        y.reshape(B, T * cells, C), mask.reshape(B, T * cells), train)
-    out = out.reshape(y.shape)
+    """Shared BNAct over tile rows; re-zero inactive cells (the BN bias
+    would otherwise leak nonzeros into the dense tile interior and break
+    the submanifold invariant). Passes the (B, T, cells, C) array through
+    UNRESHAPED — merging (T, cells) first was measured to force f32
+    layout-transpose copies around every BN (~50 ms/step, batch 8)."""
+    out = BNAct(cfg, name=name, parent=module)(y, mask, train)
     occ_mask = mask[..., None].astype(out.dtype)
     return out * occ_mask
 

@@ -235,16 +235,28 @@ def build_tile_input(coords, values, n, spatial_size: int, t: int, Tcap: int,
             vox_tile, vox_cell, n_spill, vox_spill)
 
 
+@np.vectorize
+def _fold_parent_cell(c, t, dim):
+    # cell index -> parent (t/2-grid) cell index, per-axis halving
+    out, th = 0, t // 2
+    for d in range(dim):
+        comp = (c // (t ** (dim - 1 - d))) % t
+        out = out * th + comp // 2
+    return out
+
+
 def _fold_occ_downsample(occ, t, dim):
-    # int sum > 0, NOT .any(): XLA's multi-axis bool reduce_or lowers
-    # pathologically on TPU (profiled 17 ms/step at bench scale)
-    T = occ.shape[0]
-    oi = occ.astype(jnp.int32)
-    if dim == 3:
-        o = oi.reshape(T, t // 2, 2, t // 2, 2, t // 2, 2)
-        return (o.sum(axis=(2, 4, 6)) > 0).reshape(T, (t // 2) ** 3)
-    o = oi.reshape(T, t // 2, 2, t // 2, 2)
-    return (o.sum(axis=(2, 4)) > 0).reshape(T, (t // 2) ** 2)
+    # ONE small static matmul against the cell->parent-cell 0/1 fold matrix,
+    # NOT a multi-axis reshape+reduce: the 8-D bool reshape forced a
+    # pathological T(4,128) relayout + convert_reduce (profiled 39 ms/step
+    # at bench scale); reduce_or itself lowers even worse (17 ms extra)
+    T, cells = occ.shape
+    hc = (t // 2) ** dim
+    F = np.zeros((cells, hc), np.float32)
+    F[np.arange(cells), _fold_parent_cell(np.arange(cells), t, dim)] = 1.0
+    s = jnp.dot(occ.astype(jnp.float32), jnp.asarray(F),
+                preferred_element_type=jnp.float32)
+    return s > 0
 
 
 def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
