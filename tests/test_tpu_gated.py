@@ -279,3 +279,38 @@ def test_f32_engine_exactness_on_chip():
                                    rtol=1e-4, atol=1e-4)
         agree = (out_t[b, :n].argmax(-1) == out_g[b, :n].argmax(-1)).mean()
         assert agree == 1.0, f"f32 class agreement {agree:.6f} != 1.0"
+
+
+def test_graph_build_zero_drops_at_bench_scale():
+    """Regression: the rank-windowed monotone lookups in the graph build
+    are exact-with-budget; at bench scale (512^3, ~1e5 voxels, batch 8)
+    the budgets must never be exceeded. The r3 scatter-free lookup first
+    shipped with a shared 2048-entry correction budget across all 8 corner
+    rows of _down_link, which silently dropped up to 898 link pairs/event
+    at this scale (caught by the post-training overflow sweep, not by the
+    small-shape suites — hence this test)."""
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    from uresnet_pytorch_tpu.iotools.synthetic import generate_event
+    from uresnet_pytorch_tpu.ops.tile_graph import (
+        build_tile_graph, graph_overflows, graph_spills)
+
+    B, VOX = 8, 100_000
+    cfg = URESNetConfig(
+        model_name="uresnet_sparse", num_class=5, uresnet_filters=16,
+        uresnet_num_strides=5, spatial_size=512, data_dim=3, reps=2,
+        max_voxels=max(256, 1 << int(np.ceil(np.log2(VOX * 1.3)))),
+        capacity_factor=0.5, min_level_capacity=2048,
+        batch_size=B, compute_dtype="bfloat16")
+    coords = np.zeros((B, cfg.max_voxels, 3), np.int32)
+    values = np.zeros((B, cfg.max_voxels), np.float32)
+    nv = np.zeros((B,), np.int32)
+    for b in range(B):
+        c, v, _ = generate_event(0, b, 512, 3, int(VOX * 1.5))
+        n = min(len(c), cfg.max_voxels)
+        coords[b, :n], values[b, :n], nv[b] = c[:n], v[:n], n
+    g = jax.jit(lambda c, v, n: build_tile_graph(c, v, n, cfg))(
+        coords, values, nv)
+    assert int(graph_overflows(g)) == 0
+    assert int(graph_spills(g)) == 0
+    for li, link in enumerate(g.links):
+        assert int(np.asarray(link.overflow).sum()) == 0, f"link {li}"

@@ -146,9 +146,13 @@ def make_gather_spec(idx: jnp.ndarray, ok: jnp.ndarray, src_len: int,
     while N % Bk:
         Bk //= 2
     nb = N // Bk
-    win = win_mult * Bk
+    # cap the window at the (8-aligned) source length and clamp starts so
+    # every window is inside [0, src_len) — consumers then need no row
+    # padding (see ops/halo.py); a window covering the whole tail keeps
+    # every idx < src_len in-band, so no pairs shift to the corrections
+    win = min(win_mult * Bk, max(8, (src_len // 8) * 8))
     blocks = jnp.where(ok, idx, src_len + win).reshape(nb, Bk)
-    starts = jnp.clip(jnp.min(blocks, axis=1), 0, max(src_len - 1, 0))
+    starts = jnp.clip(jnp.min(blocks, axis=1), 0, max(src_len - win, 0))
     # 8-aligned so the Pallas kernel's dynamic window DMA satisfies the
     # sublane tiling constraint
     starts = ((starts // 8) * 8).astype(jnp.int32)
@@ -280,8 +284,15 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
             valid_c, grid_f)
         for o in range(2 ** dim)])                       # (2^dim, Tc)
     # corner queries of sorted coarse keys are monotone (coord doubling
-    # preserves lexicographic key order) — rank-windowed lookup applies
-    cidx_all, cok_all, cdrop = lookup_monotone(keys_f, child_keys)
+    # preserves lexicographic key order) — rank-windowed lookup applies.
+    # The insertion points of a block of coarse queries span ~(Tf/Tc)≈2.5x
+    # block rows of keys_f, so the default win_mult=4 under-brackets dense
+    # events, and the correction budget is shared by all 2^dim corner rows:
+    # measured at bench scale (512^3, 1e5 vox, batch 8) the defaults
+    # dropped up to 898 pairs/event — win_mult=8 + corr_cap=8192 measured
+    # zero drops with wide margin
+    cidx_all, cok_all, cdrop = lookup_monotone(keys_f, child_keys,
+                                               win_mult=8, corr_cap=8192)
     children = []
     for o in range(2 ** dim):
         # child idx expands by the fine/coarse tile-count ratio (~2-3):
@@ -292,7 +303,7 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     # fine -> (parent, octant) for the decoder; parent keys of sorted fine
     # keys are non-decreasing (coord halving preserves lex order)
     pidx, pok, pdrop = lookup_monotone(
-        keys_c, encode(fc >> 1, valid, grid_c)[None])
+        keys_c, encode(fc >> 1, valid, grid_c)[None], corr_cap=4096)
     pidx, pok = pidx[0], pok[0]
     corner = jnp.zeros((Tf,), jnp.int32)
     for d in range(dim):
@@ -348,10 +359,13 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
                 tile_spill = tile_spill + spill_c.astype(jnp.int32)
                 occ_h = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
-                # coarse occupancy: pull each corner's child occupancy
+                # coarse occupancy: pull each corner's child occupancy.
+                # bf16 carries 0/1 exactly AND dispatches to the Pallas
+                # windowed-gather on TPU — the f32 XLA fallback's vmapped
+                # dynamic-slice windows cost ~25 ms/step at bench scale
                 from uresnet_pytorch_tpu.ops.tile_conv import assemble_children
                 occ_c = assemble_children(
-                    occ_h[..., None].astype(jnp.float32), children, t_c,
+                    occ_h[..., None].astype(jnp.bfloat16), children, t_c,
                     dim)[..., 0] > 0
             else:
                 # tile edge shrank with the grid: same tile rows, cells halve
