@@ -101,7 +101,16 @@ class URESNetConfig:
         if self.input_merge_mode not in ("sum", "mean", "max", "last"):
             raise ValueError(f"unknown input_merge_mode {self.input_merge_mode!r}")
         if self.spatial_size & (self.spatial_size - 1):
-            raise ValueError("spatial_size must be a power of two")
+            # the reference accepts any edge (192 is its common default —
+            # SURVEY.md §2.2); the tile/fold engines need a power-of-two
+            # grid, and coords < spatial_size always fit the padded one
+            rounded = 1 << (self.spatial_size - 1).bit_length()
+            import warnings
+            warnings.warn(
+                f"spatial_size {self.spatial_size} is not a power of two; "
+                f"padding the compute grid to {rounded} (voxel coordinates "
+                "are unchanged)", stacklevel=2)
+            object.__setattr__(self, "spatial_size", rounded)
         if self.uresnet_num_strides < 1:
             raise ValueError("uresnet_num_strides must be >= 1")
         if (self.spatial_size >> (self.uresnet_num_strides - 1)) < 1:

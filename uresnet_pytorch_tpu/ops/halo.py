@@ -211,7 +211,12 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
             jnp.min(starts[k0:k1], axis=0, keepdims=True),
             (k1 - k0, nb)) for (k0, k1) in halo_groups(dim)]
         starts = jnp.concatenate(parts, axis=0)
-    starts = jnp.clip(starts, 0, max(T - 1, 0))
+    # clamp so every window stays inside [0, T): any idx < T then has
+    # local < win (the tail window covers [T-win, T)), and consumers need
+    # NO row padding — the per-conv jnp.pad(x, (0, win)) copies were
+    # ~100 ms/step of pure HBM traffic at bench scale. T and win are both
+    # multiples of 8 (capacities round to 8+), so the clamp stays aligned.
+    starts = jnp.clip(starts, 0, max(T - win, 0))
     starts = ((starts // 8) * 8).astype(jnp.int32)     # sublane-aligned DMA
 
     local = idx - jnp.repeat(starts, Bk, axis=1)

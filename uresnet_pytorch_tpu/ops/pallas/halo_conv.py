@@ -236,12 +236,20 @@ def _patch_rows_v2(xf, spec, t, dim, C):
 
 
 def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, ext_scr,
-                  sems):
+                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
+                  ext_scr, sems, psem):
     """Stage 1 of the v2 kernels: fill ext_scr (Bk, ecells*C) with the
     halo-extended block — three group window DMAs + one-hot MXU gathers +
     gated patch-row corrections. Shared by the forward conv kernel and the
-    d_W kernel (identical ext semantics by construction)."""
+    d_W kernel (identical ext semantics by construction).
+
+    Window DMAs are DOUBLE-BUFFERED across grid steps: win_scr is
+    (2, win, planes_v2); step (b, n) issues block n+1's three group copies
+    into slot (n+1)%2 before computing from slot n%2 (whose copies were
+    issued at step n-1), hiding the window-fetch latency behind the one-hot
+    and conv dots — the kernels were measured DMA-latency-bound with the
+    synchronous issue-then-wait flow. Patch rows are per-b persistent and
+    live in their own scratch, refreshed synchronously at n == 0."""
     (_, _, _, slab_len, ext_plan, _, body_plan, _) = _plans(t, dim)
     offs = halo_offsets(dim)
     K = len(offs)
@@ -253,30 +261,47 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
     dt = ext_scr.dtype
     Bk = ext_scr.shape[0]
     lanes = (t ** dim) * C
+    nb = pl.num_programs(1)
 
-    # ---- stage 1: three group window DMAs (+ persistent patch rows) ----
-    st0 = pl.multiple_of(starts_ref[b, 0, n], 8)
-    d0 = pltpu.make_async_copy(
-        xf_ref.at[b, pl.ds(st0, win), (t - 1) * pc * C:lanes],
-        win_scr.at[pl.ds(0, win), 0:seg0_l], sems.at[0])
-    d0.start()
-    st1 = pl.multiple_of(starts_ref[b, G, n], 8)
-    d1 = pltpu.make_async_copy(
-        xs0_ref.at[b, pl.ds(st1, win), 0:seg1_l],
-        win_scr.at[pl.ds(0, win), seg0_l:seg2_b], sems.at[1])
-    d1.start()
-    st2 = pl.multiple_of(starts_ref[b, K - G, n], 8)
-    d2 = pltpu.make_async_copy(
-        xf_ref.at[b, pl.ds(st2, win), 0:pc * C],
-        win_scr.at[pl.ds(0, win), seg2_b:seg2_b + seg0_l], sems.at[2])
-    d2.start()
-    if P:
-        @pl.when(n == 0)
-        def _():
-            pd = pltpu.make_async_copy(
-                patch_ref.at[b], win_scr.at[pl.ds(win, P), :], sems.at[3])
+    def win_dmas(nn, slot):
+        """The three group window copies for block nn into buffer `slot` —
+        reconstructed identically at issue and wait time (the descriptor
+        carries the transfer size; the semaphore carries completion)."""
+        st0 = pl.multiple_of(starts_ref[b, 0, nn], 8)
+        d0 = pltpu.make_async_copy(
+            xf_ref.at[b, pl.ds(st0, win), (t - 1) * pc * C:lanes],
+            win_scr.at[slot, pl.ds(0, win), 0:seg0_l], sems.at[slot, 0])
+        st1 = pl.multiple_of(starts_ref[b, G, nn], 8)
+        d1 = pltpu.make_async_copy(
+            xs0_ref.at[b, pl.ds(st1, win), 0:seg1_l],
+            win_scr.at[slot, pl.ds(0, win), seg0_l:seg2_b],
+            sems.at[slot, 1])
+        st2 = pl.multiple_of(starts_ref[b, K - G, nn], 8)
+        d2 = pltpu.make_async_copy(
+            xf_ref.at[b, pl.ds(st2, win), 0:pc * C],
+            win_scr.at[slot, pl.ds(0, win), seg2_b:seg2_b + seg0_l],
+            sems.at[slot, 2])
+        return d0, d1, d2
+
+    slot = jax.lax.rem(n, 2)
+
+    @pl.when(n == 0)
+    def _():
+        # fresh event row: nothing in flight — issue block 0 synchronously
+        # (waited below) and refresh the per-b patch rows
+        for d in win_dmas(0, 0):
+            d.start()
+        if P:
+            pd = pltpu.make_async_copy(patch_ref.at[b], patch_scr, psem)
             pd.start()
             pd.wait()
+
+    @pl.when(n + 1 < nb)
+    def _():
+        # prefetch block n+1's windows into the other buffer; its last
+        # reader was step n-1, already complete (grid steps are sequential)
+        for d in win_dmas(n + 1, jax.lax.rem(n + 1, 2)):
+            d.start()
 
     xb = xblk_ref[0]                                   # (Bk, cells*C)
     for (c0, ln, e0) in body_plan:
@@ -289,18 +314,19 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
             return seg2_b, seg0_l, _plane_plan(offs[k], t)
         return seg0_l + pack_off[k] * C, slab_len[k] * C, ext_plan[k]
 
+    cur = win_dmas(n, slot)
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     for k in range(K):
         if k == 0:
-            d0.wait()
+            cur[0].wait()
         elif k == G:
-            d1.wait()
+            cur[1].wait()
         elif k == K - G:
-            d2.wait()
+            cur[2].wait()
         o, w, plan = col_range(k)
         local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
         oh = (local == pos).astype(dt)
-        res = jnp.dot(oh, win_scr[pl.ds(0, win), o:o + w],
+        res = jnp.dot(oh, win_scr[slot, pl.ds(0, win), o:o + w],
                       preferred_element_type=jnp.float32).astype(dt)
         for (sp, ln, e0) in plan:
             ext_scr[:, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
@@ -313,7 +339,7 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
                 o, w, plan = col_range(k)
                 local = lidx_ref[0, 0, k, :].reshape(Bk, 1)
                 ohp = (local == posp).astype(dt)
-                resp = jnp.dot(ohp, win_scr[pl.ds(win, P), o:o + w],
+                resp = jnp.dot(ohp, patch_scr[pl.ds(0, P), o:o + w],
                                preferred_element_type=jnp.float32).astype(dt)
                 for (sp, ln, e0) in plan:
                     ext_scr[:, e0 * C:(e0 + ln) * C] = (
@@ -365,25 +391,25 @@ def _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref):
 
 def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
                      starts_ref, hasp_ref, lidx_ref, xblk_ref, xf_ref,
-                     xs0_ref, patch_ref, wt_ref, out_ref, win_scr, ext_scr,
-                     sems):
+                     xs0_ref, patch_ref, wt_ref, out_ref, win_scr,
+                     patch_scr, ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
     _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, ext_scr,
-                  sems)
+                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
+                  ext_scr, sems, psem)
     _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
 
 
 def _dw_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
                   starts_ref, hasp_ref, lidx_ref, xblk_ref, xf_ref,
-                  xs0_ref, patch_ref, g_ref, out_ref, win_scr, ext_scr,
-                  sems):
+                  xs0_ref, patch_ref, g_ref, out_ref, win_scr, patch_scr,
+                  ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
     _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, ext_scr,
-                  sems)
+                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
+                  ext_scr, sems, psem)
     _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref)
 
 
@@ -408,7 +434,7 @@ def _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
         @pl.when(n == 0)
         def _():
             pd = pltpu.make_async_copy(
-                xs_ref.at[b, pl.ds(Tsrc + win, P), :],
+                xs_ref.at[b, pl.ds(Tsrc, P), :],
                 win_scr.at[pl.ds(win, P), :], sems.at[K])
             pd.start()
             pd.wait()
@@ -501,9 +527,11 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
         # d0=0 offsets get a (slim) preslice pack. See block comment above.
         seg0_l, seg1_l, planes_v2 = v2
         patch = _patch_rows_v2(xf, spec, t, dim, C)
-        rowpad = ((0, 0), (0, win), (0, 0))
-        xf_p = jnp.pad(xf, rowpad)
-        xs0 = jnp.pad(_preslice0(xf, C, t, dim), rowpad)
+        # spec starts are clamped to [0, T - win] at build time: window DMAs
+        # never cross the row end, so the flat array serves as its own
+        # window source (the old jnp.pad(xf, (0, win)) full-array copies
+        # were ~100 ms/step of pure HBM traffic at bench scale)
+        xs0 = _preslice0(xf, C, t, dim)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, nb),
@@ -512,7 +540,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
                              lambda b, n, st, hp: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p),
                              lambda b, n, st, hp: (b, n, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),   # xf_p (row windows)
+                pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
                 pl.BlockSpec(memory_space=pl.ANY),   # xs0
                 pl.BlockSpec(memory_space=pl.ANY),   # patch rows
                 pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
@@ -520,9 +548,11 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
             out_specs=pl.BlockSpec((1, Bk, olanes_p),
                                    lambda b, n, st, hp: (b, n, 0)),
             scratch_shapes=[
-                pltpu.VMEM((win + P, planes_v2), x.dtype),
+                pltpu.VMEM((2, win, planes_v2), x.dtype),
+                pltpu.VMEM((max(P, 1), planes_v2), x.dtype),
                 pltpu.VMEM((Bk, elanes_p), x.dtype),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA,
             ],
         )
         out = pl.pallas_call(
@@ -533,7 +563,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, lidx, xf, xf_p, xs0, patch,
+        )(spec.starts, hasp, lidx, xf, xf, xs0, patch,
           wt.astype(x.dtype))
         return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
@@ -611,9 +641,8 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
     if v2 is not None:
         seg0_l, seg1_l, planes_v2 = v2
         patch = _patch_rows_v2(xf, spec, t, dim, C)
-        rowpad = ((0, 0), (0, win), (0, 0))
-        xf_p = jnp.pad(xf, rowpad)
-        xs0 = jnp.pad(_preslice0(xf, C, t, dim), rowpad)
+        # no row padding: spec starts clamped to [0, T - win] at build time
+        xs0 = _preslice0(xf, C, t, dim)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, nb),
@@ -622,7 +651,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
                              lambda b, n, st, hp: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p),
                              lambda b, n, st, hp: (b, n, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),   # xf_p (row windows)
+                pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
                 pl.BlockSpec(memory_space=pl.ANY),   # xs0
                 pl.BlockSpec(memory_space=pl.ANY),   # patch rows
                 pl.BlockSpec((1, Bk, olanes_p),
@@ -630,9 +659,11 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
             ],
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((win + P, planes_v2), x.dtype),
+                pltpu.VMEM((2, win, planes_v2), x.dtype),
+                pltpu.VMEM((max(P, 1), planes_v2), x.dtype),
                 pltpu.VMEM((Bk, elanes_p), x.dtype),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA,
             ],
         )
         dwt = pl.pallas_call(
@@ -643,7 +674,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, lidx, xf, xf_p, xs0, patch, gf)
+        )(spec.starts, hasp, lidx, xf, xf, xs0, patch, gf)
         return dwt[:, :Kl, :No]
 
     xs = _preslice(xf, C, t, dim, 1)
@@ -694,7 +725,7 @@ def _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize):
     cells = t ** dim
     span = (3 * (t + 2)) if dim == 3 else (t + 2)
     wt_rows = 3 * span
-    return ((win + P) * packl            # window scratch
+    return ((2 * win + P) * packl        # window scratch (double-buffered)
             + Bk * ecells                # ext scratch
             + 2 * Bk * cells             # in blocks (double-buffered)
             + wt_rows * t * Cout // max(Cout, 1)  # weight (per-Cin rows)

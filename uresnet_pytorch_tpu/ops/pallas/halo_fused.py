@@ -153,7 +153,7 @@ def _fwd_kernel(grouped, t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref,
         @pl.when(n == 0)
         def _():
             pd = pltpu.make_async_copy(
-                xs_ref.at[b, pl.ds(Tsrc + win, P), :],
+                xs_ref.at[b, pl.ds(Tsrc, P), :],
                 win_scr.at[pl.ds(win, P), :], sems.at[K])
             pd.start()
             pd.wait()
@@ -214,7 +214,7 @@ def _bwd_kernel(grouped, t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref,
         @pl.when(n == 0)
         def _():
             pd = pltpu.make_async_copy(
-                gs_ref.at[b, pl.ds(Tsrc + win, P), :],
+                gs_ref.at[b, pl.ds(Tsrc, P), :],
                 win_scr.at[pl.ds(win, P), :], sems.at[K])
             pd.start()
             pd.wait()
@@ -329,17 +329,18 @@ def _has_patch(spec):
 
 
 def _with_patch_rows(flat, spec, win):
-    """[rows | win zeros | patch rows]: append the correction-source rows so
-    the kernel's one-hot can reach them at fixed offsets."""
+    """[rows | patch rows]: append the correction-source rows so the
+    kernel's patch DMA can reach them at a fixed offset (Tsrc). No window
+    spacer: spec starts are clamped to [0, T - win] at build time, so
+    window DMAs never read past the T real rows."""
     B, T, lanes = flat.shape
     P = spec.corr_src.shape[1]
-    pad = jnp.zeros((B, win, lanes), flat.dtype)
     if not P:
-        return jnp.concatenate([flat, pad], axis=1)
+        return flat
     rows = jnp.where(spec.corr_ok, spec.corr_src, T)
     patch = jax.vmap(lambda xx, rr: jnp.take(
         xx, rr, axis=0, mode="fill", fill_value=0))(flat, rows)
-    return jnp.concatenate([flat, pad, patch], axis=1)
+    return jnp.concatenate([flat, patch], axis=1)
 
 
 # VMEM budget per grid step: slab-lane window scratch + auto-double-buffered

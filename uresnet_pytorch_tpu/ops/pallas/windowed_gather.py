@@ -50,8 +50,13 @@ def _kernel(win: int, Bk: int, nb: int, starts_ref, idx_ref, src_ref,
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     oh = (local == pos).astype(out_ref.dtype)
     dma(n, slot).wait()
+    # precision pinned to DEFAULT: one-hot row movement is exact at any
+    # matmul precision, and an ambient default_matmul_precision("highest")
+    # (e.g. the f32 exactness tests) would ask Mosaic for an fp32-precision
+    # bf16 matmul it cannot lower
     out_ref[0] = jnp.dot(oh, scratch[slot],
-                         preferred_element_type=jnp.float32
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT
                          ).astype(out_ref.dtype)
 
 
@@ -79,7 +84,9 @@ def gather_forward(src: jnp.ndarray, spec, interpret: bool = False
 
     idx_eff = jnp.where(spec.ok, spec.idx, -1).reshape(B, nb, Bk)
     Fp = ((F + 127) // 128) * 128  # window DMA needs 128-aligned lanes
-    padded = jnp.pad(src, ((0, 0), (0, win), (0, Fp - F)))
+    # spec starts are clamped to [0, S - win] at build time, so windows
+    # never cross the row end — no row padding (a full-array copy) needed
+    padded = src if Fp == F else jnp.pad(src, ((0, 0), (0, 0), (0, Fp - F)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -53,10 +53,12 @@ def _windowed_gather_xla(src: jnp.ndarray, spec: GatherSpec) -> jnp.ndarray:
     win = spec.window.shape[-1]
     dt = src.dtype
 
-    padded = jnp.pad(src, ((0, 0), (0, win), (0, 0)))
+    # spec starts are clamped to [0, S - win] at build time — windows never
+    # cross the row end, so no row padding (dynamic_slice's own clamp is a
+    # no-op here, keeping local-index correspondence exact)
     windows = jax.vmap(lambda p, st: jax.vmap(
         lambda s: jax.lax.dynamic_slice(p, (s, 0), (win, F)))(st)
-    )(padded, spec.starts)                                  # (B, nb, win, F)
+    )(src, spec.starts)                                     # (B, nb, win, F)
     local = spec.idx - jnp.repeat(spec.starts, Bk, axis=1)  # (B, N)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, nb, Bk, win), 3)
     oh = (local.reshape(B, nb, Bk)[..., None] == pos) \
