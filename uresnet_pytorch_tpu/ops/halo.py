@@ -55,7 +55,7 @@ HALO_WIN_MULT = int(os.environ.get("URESNET_HALO_WIN_MULT", 2))
 # dropped-and-counted (surfaced in TrainVal metrics). Measured worst case
 # on 512^3/1e5-voxel events at Bk=128/win=256: 180 pairs (the spread tail
 # is structural slab-boundary jumps; bigger windows don't drain it)
-HALO_CORR_CAP = 256
+HALO_CORR_CAP = int(os.environ.get("URESNET_HALO_CORR_CAP", 256))
 # share one window START per leading-axis offset group (d0 in {-1,0,+1}):
 # every offset in a group then has identical starts, letting the Pallas
 # kernels fetch each group's contiguous lane range with ONE DMA — the
