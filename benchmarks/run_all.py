@@ -106,7 +106,10 @@ def _sparse_cfg(smoke, batch):
         uresnet_filters=16, uresnet_num_strides=5,
         max_voxels=max(256, 1 << int(np.ceil(np.log2(n_vox * 1.3)))),
         capacity_factor=0.5, min_level_capacity=2048 if not smoke else 64,
-        batch_size=batch, compute_dtype="bfloat16"), n_vox
+        batch_size=batch, compute_dtype="bfloat16",
+        # stage_dots measured 2.141 vs stage's 1.884 ev/s at config 4 (b4)
+        # and fits; override with BENCH_REMAT for memory-limited sweeps
+        remat_mode=os.environ.get("BENCH_REMAT", "stage_dots")), n_vox
 
 
 def _train_batch(smoke):

@@ -56,6 +56,12 @@ class URESNetConfig:
     # surface them per step, main_funcs warns (ops/tile_graph.py).
     tile_occupancy: float = 4.5
     min_tiles: int = 64                 # floor on per-level tile capacity
+    # training rematerialization: "stage" checkpoints whole encoder/decoder
+    # stages (least memory; backward re-runs each stage's convs);
+    # "stage_dots" additionally SAVES the conv-kernel outputs so backward
+    # re-runs only elementwise glue (more memory than "stage", far less
+    # than "none" — measured 34G at 512^3 batch 4); "none" saves everything
+    remat_mode: str = "stage"           # {stage, stage_dots, none}
 
     # ---- io (reference: --io-type/-io etc.) ----
     io_type: str = "h5"                 # {h5, larcv_sparse, larcv_dense, synthetic}
@@ -96,6 +102,8 @@ class URESNetConfig:
             raise ValueError(f"data_dim must be 2 or 3, got {self.data_dim}")
         if self.model_name not in ("uresnet_sparse", "uresnet_dense"):
             raise ValueError(f"unknown model_name {self.model_name!r}")
+        if self.remat_mode not in ("stage", "stage_dots", "none"):
+            raise ValueError(f"unknown remat_mode {self.remat_mode!r}")
         if self.width_ramp not in ("linear", "geometric"):
             raise ValueError(f"unknown width_ramp {self.width_ramp!r}")
         if self.input_merge_mode not in ("sum", "mean", "max", "last"):

@@ -59,6 +59,8 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", action="store_true")
     # TPU-native extras
     p.add_argument("--compute-dtype", type=str, default=d["compute_dtype"].default)
+    p.add_argument("--remat-mode", type=str, default=d["remat_mode"].default,
+                   help="training remat: stage | stage_dots | none")
     p.add_argument("--profile-dir", type=str, default="")
 
 
@@ -87,6 +89,7 @@ def _to_config(ns: argparse.Namespace, train: bool) -> URESNetConfig:
         shuffle=bool(ns.shuffle),
         limit_num_files=ns.limit_num_files,
         num_threads=ns.num_threads,
+        remat_mode=ns.remat_mode,
         train=train,
         learning_rate=ns.learning_rate,
         iteration=ns.iteration,

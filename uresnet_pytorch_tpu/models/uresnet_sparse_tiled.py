@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from uresnet_pytorch_tpu.config import URESNetConfig
@@ -42,9 +43,13 @@ class SMConvTile(nn.Module):
         cfg = self.cfg
         K = 3 ** cfg.data_dim
         w = self.param("w", _conv_init, (K, x.shape[-1], self.features))
-        return submanifold_conv_tiled(
+        out = submanifold_conv_tiled(
             x.astype(cfg.compute_dtype), level.occ, level.halo, t,
             cfg.data_dim, w)
+        # names the conv output for remat_mode="stage_dots": the stage
+        # checkpoint then SAVES kernel outputs and re-runs only the cheap
+        # elementwise glue in backward (config.py remat_mode)
+        return jax.ad_checkpoint.checkpoint_name(out, "conv_out")
 
 
 class SparseResBlockTile(nn.Module):
@@ -152,10 +157,14 @@ class UResNetSparseTiled(nn.Module):
             return jnp.einsum("btvc,cd->btvd", y.astype(jnp.float32),
                               w_head) + b_head       # (B, T0, cells, nc)
 
-        if train:
-            _enc_stage = nn.remat(_enc_stage, static_argnums=(6,))
-            _dec_stage = nn.remat(_dec_stage, static_argnums=(8,))
-            _head_stage = nn.remat(_head_stage)
+        if train and cfg.remat_mode in ("stage", "stage_dots"):
+            pol = (jax.checkpoint_policies.save_only_these_names("conv_out")
+                   if cfg.remat_mode == "stage_dots" else None)
+            _enc_stage = nn.remat(_enc_stage, static_argnums=(6,),
+                                  policy=pol)
+            _dec_stage = nn.remat(_dec_stage, static_argnums=(8,),
+                                  policy=pol)
+            _head_stage = nn.remat(_head_stage, policy=pol)
 
         x = SMConvTile(cfg, planes[0], name="stem")(
             graph.feats0.astype(dt), levels[0], tsz[0])
