@@ -129,7 +129,7 @@ def inference(cfg: URESNetConfig, io=None) -> dict:
             import jax
             acc = None
             t0 = time.perf_counter()
-            for _ in range(n_iters):
+            for it in range(n_iters):
                 blob = io.next()
                 res = tv.forward(blob)
                 upd = {
@@ -143,9 +143,17 @@ def inference(cfg: URESNetConfig, io=None) -> dict:
                 if cfg.output_file:
                     io.store_segment(blob["index"], blob,
                                      np.asarray(res["softmax"]))
+                if it == 0:
+                    # fence batch 0 (tiny fetch — block_until_ready is not
+                    # reliable on the tunneled platform) and restart the
+                    # clock: the reported rate is STEADY-STATE, excluding
+                    # the first batch's XLA compile (minutes at 512^3)
+                    np.asarray(res["loss"])
+                    t0 = time.perf_counter()
             # fetch = the honest completion fence (inside the timing window)
             acc = jax.tree_util.tree_map(np.asarray, acc)
             dt = time.perf_counter() - t0
+            rate_iters = max(n_iters - 1, 1)
             tot_loss, tot_acc = float(acc["loss"]), float(acc["accuracy"])
             cls_count = acc["cls_count"]
             inter, union = acc["inter"], acc["union"]
@@ -158,7 +166,7 @@ def inference(cfg: URESNetConfig, io=None) -> dict:
                         [f"iou_class{c}" for c in range(cfg.num_class)])
             row_vals = ([os.path.basename(ckpt) if ckpt else "none",
                          tot_loss / n_iters, tot_acc / n_iters, miou,
-                         n_iters * cfg.batch_size / dt] + list(per_class)
+                         rate_iters * cfg.batch_size / dt] + list(per_class)
                         + list(iou))
             csv.record(row_keys, row_vals)
             csv.write()

@@ -31,6 +31,29 @@ from uresnet_pytorch_tpu.utils.checkpoint import (
     checkpoint_path, latest_checkpoint, restore_checkpoint, save_checkpoint)
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (512^3 programs take
+    minutes to compile; a cold CLI inference run was measured 0.25 ev/s
+    end-to-end purely from per-process recompiles). Off with
+    URESNET_JAX_CACHE=0; directory override via URESNET_JAX_CACHE."""
+    import os
+    where = os.environ.get("URESNET_JAX_CACHE", "")
+    if where == "0":
+        return
+    if not where:
+        where = os.path.join(os.path.expanduser("~"), ".cache",
+                             "uresnet_tpu_jax")
+    try:
+        os.makedirs(where, exist_ok=True)
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", where)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass   # cache is an optimization; never fail initialization on it
+
+
 def _batch_from_blob(blob: Dict[str, np.ndarray], use_weight: bool) -> Dict[str, np.ndarray]:
     batch = {
         "coords": blob["coords"],
@@ -57,6 +80,7 @@ class TrainVal:
     # ------------------------------------------------------------------
     def initialize(self) -> None:
         cfg = self.cfg
+        _enable_compilation_cache()
         if self.mesh is None:
             # 1-D data mesh over all (or --gpus selected) devices; a
             # single-device mesh compiles to a plain single-chip program.
