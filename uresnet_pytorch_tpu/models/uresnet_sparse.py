@@ -56,9 +56,16 @@ class BNAct(nn.Module):
     cfg: URESNetConfig
 
     @nn.compact
-    def __call__(self, x, mask, train):
-        x = MaskedBatchNorm(momentum=self.cfg.bn_momentum,
-                            epsilon=self.cfg.bn_eps)(x, mask, train)
+    def __call__(self, x, mask, train, return_affine=False):
+        bn = MaskedBatchNorm(momentum=self.cfg.bn_momentum,
+                             epsilon=self.cfg.bn_eps)
+        if return_affine:
+            # eval-only: hand the folded (a, b) to a fused conv epilogue
+            # (same params/stats created — checkpoint-compatible)
+            a, b = bn(x, mask, False, return_affine=True)
+            return (a.astype(self.cfg.compute_dtype),
+                    b.astype(self.cfg.compute_dtype))
+        x = bn(x, mask, train)
         s = self.cfg.leaky_relu_slope
         x = nn.leaky_relu(x, negative_slope=s) if s > 0 else nn.relu(x)
         return x.astype(self.cfg.compute_dtype)

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from uresnet_pytorch_tpu.config import URESNetConfig
 from uresnet_pytorch_tpu.models.uresnet_sparse import BNAct, _conv_init
 from uresnet_pytorch_tpu.ops.tile_conv import (
-    downsample_conv_tiled, submanifold_conv_tiled, upsample_conv_tiled)
+    downsample_conv_tiled, submanifold_conv_bn_act_tiled,
+    submanifold_conv_tiled, upsample_conv_tiled)
 from uresnet_pytorch_tpu.ops.tile_graph import (
     build_tile_graph, graph_overflows, graph_spills, tile_size_at)
 
@@ -39,10 +40,18 @@ class SMConvTile(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, level, t):
+    def __call__(self, x, level, t, bn_act=None):
         cfg = self.cfg
         K = 3 ** cfg.data_dim
         w = self.param("w", _conv_init, (K, x.shape[-1], self.features))
+        if bn_act is not None:
+            # inference megafusion: the FOLLOWING BNAct's folded affine +
+            # activation + submanifold re-mask run in the conv kernel's
+            # epilogue (ops/tile_conv.submanifold_conv_bn_act_tiled)
+            a, b, alpha, mask = bn_act
+            return submanifold_conv_bn_act_tiled(
+                x.astype(cfg.compute_dtype), level.occ, level.halo, t,
+                cfg.data_dim, w, a, b, alpha, mask)
         out = submanifold_conv_tiled(
             x.astype(cfg.compute_dtype), level.occ, level.halo, t,
             cfg.data_dim, w)
@@ -69,8 +78,21 @@ class SparseResBlockTile(nn.Module):
                 preferred_element_type=jnp.float32,
             ).astype(cfg.compute_dtype)
         y = _bn_flat(cfg, "bn_a", self, x, mask, train)
-        y = SMConvTile(cfg, self.features, name="conv_a")(y, level, t)
-        y = _bn_flat(cfg, "bn_b", self, y, mask, train)
+        if train:
+            y = SMConvTile(cfg, self.features, name="conv_a")(y, level, t)
+            y = _bn_flat(cfg, "bn_b", self, y, mask, train)
+        else:
+            # bn_b follows conv_a with nothing in between: fold its eval
+            # affine + activation + re-mask into conv_a's kernel epilogue
+            # (one HBM pass fewer; exact — tests pin equivalence). bn_b's
+            # params are created identically via return_affine, so the
+            # parameter tree is train/eval- and checkpoint-invariant.
+            dummy = jnp.zeros((1, self.features), cfg.compute_dtype)
+            a, b = BNAct(cfg, name="bn_b", parent=self)(
+                dummy, jnp.zeros((1,), bool), False, return_affine=True)
+            y = SMConvTile(cfg, self.features, name="conv_a")(
+                y, level, t,
+                bn_act=(a, b, cfg.leaky_relu_slope, mask))
         y = SMConvTile(cfg, self.features, name="conv_b")(y, level, t)
         return shortcut + y
 

@@ -158,6 +158,13 @@ class Halo26Spec(NamedTuple):
     lidx: jnp.ndarray      # (nb, K, Bk) int32 [window|patch]-local source
     #                        row per pair; -1 = no pair (one-hot zero row)
     hasp: jnp.ndarray      # (nb,) int32 1 where the block has patch dests
+    lidx_hi: jnp.ndarray   # (nb, G*Bk, 1) int32 — the d0=-1 group's local
+    #                        rows stacked (G = 3^(dim-1)): the v2 kernels
+    #                        gather a whole +-1 group with ONE one-hot MXU
+    #                        dot (its offsets share one window), so the
+    #                        stacked layout is precomputed here once per
+    #                        level instead of relayouted per grid step
+    lidx_lo: jnp.ndarray   # (nb, G*Bk, 1) int32 — same for the d0=+1 group
 
 
 def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
@@ -248,9 +255,12 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
         lidx = jnp.where(inband, local2, -1)
         hasp = jnp.zeros((nb,), jnp.int32)
     lidx = jnp.transpose(lidx.reshape(K, nb, Bk), (1, 0, 2))
+    G = 3 ** (dim - 1)
+    lidx_hi = lidx[:, :G].reshape(nb, G * Bk, 1)
+    lidx_lo = lidx[:, K - G:].reshape(nb, G * Bk, 1)
     return Halo26Spec(idx, ok, starts, inband, corr_src, corr_dst, corr_off,
                       corr_ok, overflow, jnp.zeros((win,), jnp.int8),
-                      lidx, hasp)
+                      lidx, hasp, lidx_hi, lidx_lo)
 
 
 # ---------------------------------------------------------------------------

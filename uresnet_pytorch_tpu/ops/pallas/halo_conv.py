@@ -84,16 +84,20 @@ def _toeplitz_band(t: int) -> np.ndarray:
 
 def toeplitz_weights(w: jnp.ndarray, t: int, dim: int,
                      dtype=None) -> jnp.ndarray:
-    """(3^dim, Cin, Cout) offset stack -> (3, Kl, t*Cout) banded blocks.
+    """(3^dim, Cin, Cout) offset stack -> (3*(t+2)^(dim-1)*Cin,
+    t^(dim-1)*Cout) row-group banded block.
 
-    Block d0 maps the ext-scratch lane slice of row-group (o0+d0) onto the
-    t output x-positions: rows indexed by (d1, a2, ci) for dim=3 (by
-    (a1, ci) for dim=2), cols by (o_last, co); entry = w[d0, d1, a2-o, ...]
-    on the 3 live diagonals, 0 elsewhere.
+    ONE weight block maps three consecutive ext x-rows (x = o0..o0+2, each
+    e^(dim-1) cells) onto the full x-row of outputs (o0 fixed: t^(dim-1)
+    cells). Rows indexed by (d0, a1[, a2], ci), cols by (o1[, o2], co);
+    entry = w[d0, a1-o1, a2-o2] where every trailing delta lands on its
+    3-wide band, 0 elsewhere. Shared across o0, so the whole 3^dim conv of
+    a tile block is t MXU dots (was t^(dim-1)*3 small dots per block — the
+    kernels were measured per-op-sequencing-bound at ~170 ops/grid-step;
+    the band's ~4x FLOP overcompute is cheap next to 44 deleted op issues).
 
-    ONE einsum against a static band mask — the original per-diagonal
-    .at[].set loop emitted 3^dim*t tiny device ops PER CONV (~4000/step
-    at bench scale, ~40% of the measured step time)."""
+    Built by ONE einsum against static band masks — a per-diagonal
+    .at[].set loop was measured at ~4000 tiny device ops per step."""
     K, Cin, Cout = w.shape
     assert K == 3 ** dim
     if dtype is None:
@@ -103,38 +107,25 @@ def toeplitz_weights(w: jnp.ndarray, t: int, dim: int,
     wf = w.astype(jnp.float32)
     if dim == 3:
         w3 = wf.reshape(3, 3, 3, Cin, Cout)
-        # wt[d0, d1, x, ci, o, co] = w3[d0, d1, x - o] on the band
-        wt = jnp.einsum("dxo,abdcf->abxcof", M, w3)
-        return wt.reshape(3, 3 * e * Cin, t * Cout).astype(dtype)
+        # wt[d0, a1, a2, ci, o1, o2, co] = w3[d0, a1-o1, a2-o2] on the bands
+        wt = jnp.einsum("iao,jbp,xijcf->xabcopf", M, M, w3)
+        return wt.reshape(3 * e * e * Cin, t * t * Cout).astype(dtype)
     if dim == 2:
         w2 = wf.reshape(3, 3, Cin, Cout)
-        wt = jnp.einsum("dxo,adcf->axcof", M, w2)
-        return wt.reshape(3, e * Cin, t * Cout).astype(dtype)
+        wt = jnp.einsum("iao,xicf->xacof", M, w2)
+        return wt.reshape(3 * e * Cin, t * Cout).astype(dtype)
     raise ValueError(dim)
 
 
-def _out_groups(t: int, dim: int):
-    """Static (ext_lane_cell_offset_of_group_row0, out_lane_cell_offset)
-    per output row-group; lane offsets in CELL units (x C / Cout later).
-
-    dim=3: groups are (o0, o1); slice d0 starts at ext cell
-    ((o0+d0)*(t+2) + o1) * (t+2) and spans 3*(t+2) cells; output group
-    starts at out cell (o0*t + o1) * t, spanning t cells.
-    dim=2: groups are o0; slice d0 starts at (o0+d0)*(t+2), spans (t+2)."""
+def _row_group_geom(t: int, dim: int, C: int, Cout: int):
+    """(rows-per-x-row lane stride, weight rows Kl, out lanes per group No):
+    group o0 reads ext lanes [o0*rstride, o0*rstride + Kl) (three ext
+    x-rows) and writes out lanes [o0*No, (o0+1)*No)."""
     e = t + 2
-    groups = []
-    if dim == 3:
-        for o0 in range(t):
-            for o1 in range(t):
-                ext0 = [((o0 + d0) * e + o1) * e for d0 in range(3)]
-                groups.append((tuple(ext0), (o0 * t + o1) * t))
-        span = 3 * e
-    else:
-        for o0 in range(t):
-            ext0 = [(o0 + d0) * e for d0 in range(3)]
-            groups.append((tuple(ext0), o0 * t))
-        span = e
-    return groups, span
+    rstride = e ** (dim - 1) * C
+    Kl = 3 * rstride
+    No = t ** (dim - 1) * Cout
+    return rstride, Kl, No
 
 
 # ---------------------------------------------------------------------------
@@ -236,12 +227,19 @@ def _patch_rows_v2(xf, spec, t, dim, C):
 
 
 def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
-                  ext_scr, sems, psem):
+                  lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
+                  win_scr, patch_scr, ext_scr, sems, psem):
     """Stage 1 of the v2 kernels: fill ext_scr (Bk, ecells*C) with the
     halo-extended block — three group window DMAs + one-hot MXU gathers +
     gated patch-row corrections. Shared by the forward conv kernel and the
     d_W kernel (identical ext semantics by construction).
+
+    The d0=-1 / d0=+1 groups each gather with ONE stacked one-hot dot
+    ((G*Bk, win) x (win, plane)) — their G=3^(dim-1) offsets share a
+    window and a source plane, and the kernels were measured per-op-
+    sequencing-bound (~170 ops/grid-step), so 2 big dots replace 2*G
+    small ones. The d0=0 offsets keep per-offset dots: stacking them
+    against the full pack would multiply gather FLOPs by G.
 
     Window DMAs are DOUBLE-BUFFERED across grid steps: win_scr is
     (2, win, planes_v2); step (b, n) issues block n+1's three group copies
@@ -316,13 +314,26 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
 
     cur = win_dmas(n, slot)
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
-    for k in range(K):
-        if k == 0:
-            cur[0].wait()
-        elif k == G:
-            cur[1].wait()
-        elif k == K - G:
-            cur[2].wait()
+    posG = jax.lax.broadcasted_iota(jnp.int32, (G * Bk, win), 1)
+
+    def write_group(res, ks, k0):
+        for k in ks:
+            _, _, plan = col_range(k)
+            r0 = (k - k0) * Bk
+            for (sp, ln, e0) in plan:
+                ext_scr[:, e0 * C:(e0 + ln) * C] = \
+                    res[r0:r0 + Bk, sp * C:(sp + ln) * C]
+
+    # d0=-1 group: ONE stacked one-hot dot over the shared hi plane
+    cur[0].wait()
+    oh_hi = (lhi_ref[0, 0] == posG).astype(dt)          # (G*Bk, win)
+    res_hi = jnp.dot(oh_hi, win_scr[slot, pl.ds(0, win), 0:seg0_l],
+                     preferred_element_type=jnp.float32).astype(dt)
+    write_group(res_hi, range(G), 0)
+
+    # d0=0 offsets: per-offset dots against the slim pack
+    cur[1].wait()
+    for k in range(G, K - G):
         o, w, plan = col_range(k)
         local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
         oh = (local == pos).astype(dt)
@@ -331,11 +342,31 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
         for (sp, ln, e0) in plan:
             ext_scr[:, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
 
+    # d0=+1 group: ONE stacked dot over the shared lo plane
+    cur[2].wait()
+    oh_lo = (llo_ref[0, 0] == posG).astype(dt)
+    res_lo = jnp.dot(oh_lo, win_scr[slot, pl.ds(0, win),
+                                    seg2_b:seg2_b + seg0_l],
+                     preferred_element_type=jnp.float32).astype(dt)
+    write_group(res_lo, range(K - G, K), K - G)
+
     if P:
         @pl.when(hasp_ref[b, n] != 0)
         def _():
             posp = jax.lax.broadcasted_iota(jnp.int32, (Bk, P), 1) + win
-            for k in range(K):
+            posGp = jax.lax.broadcasted_iota(
+                jnp.int32, (G * Bk, P), 1) + win
+            ohp_hi = (lhi_ref[0, 0] == posGp).astype(dt)
+            add_hi = jnp.dot(ohp_hi, patch_scr[pl.ds(0, P), 0:seg0_l],
+                             preferred_element_type=jnp.float32).astype(dt)
+            for k in range(G):
+                _, _, plan = col_range(k)
+                r0 = k * Bk
+                for (sp, ln, e0) in plan:
+                    ext_scr[:, e0 * C:(e0 + ln) * C] = (
+                        ext_scr[:, e0 * C:(e0 + ln) * C]
+                        + add_hi[r0:r0 + Bk, sp * C:(sp + ln) * C])
+            for k in range(G, K - G):
                 o, w, plan = col_range(k)
                 local = lidx_ref[0, 0, k, :].reshape(Bk, 1)
                 ohp = (local == posp).astype(dt)
@@ -345,72 +376,133 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
                     ext_scr[:, e0 * C:(e0 + ln) * C] = (
                         ext_scr[:, e0 * C:(e0 + ln) * C]
                         + resp[:, sp * C:(sp + ln) * C])
+            ohp_lo = (llo_ref[0, 0] == posGp).astype(dt)
+            add_lo = jnp.dot(ohp_lo,
+                             patch_scr[pl.ds(0, P), seg2_b:seg2_b + seg0_l],
+                             preferred_element_type=jnp.float32).astype(dt)
+            for k in range(K - G, K):
+                _, _, plan = col_range(k)
+                r0 = (k - (K - G)) * Bk
+                for (sp, ln, e0) in plan:
+                    ext_scr[:, e0 * C:(e0 + ln) * C] = (
+                        ext_scr[:, e0 * C:(e0 + ln) * C]
+                        + add_lo[r0:r0 + Bk, sp * C:(sp + ln) * C])
 
 
 def _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref):
-    """Stage 2: Toeplitz conv dots from ext_scr -> out_ref (flat)."""
+    """Stage 2: t row-group Toeplitz dots from ext_scr -> out_ref (flat).
+    Group o0's three ext x-rows are CONTIGUOUS lanes, so the whole x-row of
+    outputs is ONE (Bk, 3*e^(dim-1)*C) x (., t^(dim-1)*Cout) MXU dot."""
     dt = out_ref.dtype
-    groups, span = _out_groups(t, dim)
-    Kl = span * C
-    No = t * Cout
-    for (ext0s, oc) in groups:
-        acc = None
-        for dd in range(3):
-            s = ext_scr[:, ext0s[dd] * C:ext0s[dd] * C + Kl]
-            prod = jnp.dot(s, wt_ref[dd],
-                           preferred_element_type=jnp.float32)
-            acc = prod if acc is None else acc + prod
-        out_ref[0, :, oc * Cout:oc * Cout + No] = acc.astype(dt)
+    rstride, Kl, No = _row_group_geom(t, dim, C, Cout)
+    for o0 in range(t):
+        s = ext_scr[:, o0 * rstride:o0 * rstride + Kl]
+        acc = jnp.dot(s, wt_ref[...], preferred_element_type=jnp.float32)
+        out_ref[0, :, o0 * No:(o0 + 1) * No] = acc.astype(dt)
+
+
+def _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
+                   mask_ref, emat_ref, out_ref):
+    """Stage 2 with the FOLLOWING BNAct folded in (inference only):
+    out = mask * leaky_{alpha}(conv * a + b). The affine/activation applies
+    to the still-f32 MXU accumulator in VMEM, deleting the separate
+    elementwise HBM pass the model otherwise pays per conv->BN pair. The
+    per-cell mask expands to out lanes with ONE one-hot dot (emat_ref)."""
+    dt = out_ref.dtype
+    rstride, Kl, No = _row_group_geom(t, dim, C, Cout)
+    m_exp = jnp.dot(mask_ref[0], emat_ref[...],
+                    preferred_element_type=jnp.float32)   # (Bk, olanes_p)
+    for o0 in range(t):
+        s = ext_scr[:, o0 * rstride:o0 * rstride + Kl]
+        acc = jnp.dot(s, wt_ref[...], preferred_element_type=jnp.float32)
+        sl0 = o0 * No
+        z = acc * ab_ref[0, sl0:sl0 + No] + ab_ref[1, sl0:sl0 + No]
+        z = jnp.maximum(z, alpha * z)
+        z = z * m_exp[:, sl0:sl0 + No]
+        out_ref[0, :, sl0:sl0 + No] = z.astype(dt)
 
 
 def _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref):
-    """Weight-gradient stage: out_ref[dd] += sum over output row-groups of
-    ext_slice(dd)^T @ g_group, the exact adjoint of `_conv_stage` w.r.t.
-    the banded Toeplitz weights (f32 accumulation; out block revisited
-    across the whole grid, flushed to HBM once at the end)."""
-    groups, span = _out_groups(t, dim)
-    Kl = span * C
-    No = t * Cout
+    """Weight-gradient stage: out_ref += sum over row-groups of
+    ext_rows(o0)^T @ g_group(o0), the exact adjoint of `_conv_stage` w.r.t.
+    the row-group banded weight block (shared across o0 — all groups
+    accumulate into ONE block; f32, revisited across the whole grid,
+    flushed to HBM once at the end)."""
+    rstride, Kl, No = _row_group_geom(t, dim, C, Cout)
 
     @pl.when(jnp.logical_and(b == 0, n == 0))
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     gb = g_ref[0]                                      # (Bk, olanes_p)
-    for dd in range(3):
-        acc = None
-        for (ext0s, oc) in groups:
-            s = ext_scr[:, ext0s[dd] * C:ext0s[dd] * C + Kl]
-            ggrp = gb[:, oc * Cout:oc * Cout + No]
-            prod = jax.lax.dot_general(
-                s, ggrp, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (Kl, No)
-            acc = prod if acc is None else acc + prod
-        out_ref[dd, 0:Kl, 0:No] += acc
+    acc = None
+    for o0 in range(t):
+        s = ext_scr[:, o0 * rstride:o0 * rstride + Kl]
+        ggrp = gb[:, o0 * No:(o0 + 1) * No]
+        prod = jax.lax.dot_general(
+            s, ggrp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (Kl, No)
+        acc = prod if acc is None else acc + prod
+    out_ref[0:Kl, 0:No] += acc
 
 
 def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
-                     starts_ref, hasp_ref, lidx_ref, xblk_ref, xf_ref,
-                     xs0_ref, patch_ref, wt_ref, out_ref, win_scr,
-                     patch_scr, ext_scr, sems, psem):
+                     starts_ref, hasp_ref, lidx_ref, lhi_ref, llo_ref,
+                     xblk_ref, xf_ref, xs0_ref, patch_ref, wt_ref, out_ref,
+                     win_scr, patch_scr, ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
     _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
-                  ext_scr, sems, psem)
+                  lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
+                  win_scr, patch_scr, ext_scr, sems, psem)
     _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
 
 
-def _dw_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
-                  starts_ref, hasp_ref, lidx_ref, xblk_ref, xf_ref,
-                  xs0_ref, patch_ref, g_ref, out_ref, win_scr, patch_scr,
-                  ext_scr, sems, psem):
+def _fused_kernel_v2_bn(t, dim, C, Cout, win, P, Tsrc, Bk, alpha,
+                        starts_ref, hasp_ref, lidx_ref, lhi_ref, llo_ref,
+                        xblk_ref, xf_ref, xs0_ref, patch_ref, wt_ref,
+                        ab_ref, mask_ref, emat_ref, out_ref, win_scr,
+                        patch_scr, ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
     _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  xblk_ref, xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
-                  ext_scr, sems, psem)
+                  lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
+                  win_scr, patch_scr, ext_scr, sems, psem)
+    _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
+                   mask_ref, emat_ref, out_ref)
+
+
+def _dw_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
+                  starts_ref, hasp_ref, lidx_ref, lhi_ref, llo_ref,
+                  xblk_ref, xf_ref, xs0_ref, patch_ref, g_ref, out_ref,
+                  win_scr, patch_scr, ext_scr, sems, psem):
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
+                  lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
+                  win_scr, patch_scr, ext_scr, sems, psem)
     _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref)
+
+
+def _bwd_kernel_v2(t, dim, Cg, Cx, win, P, Tsrc, Bk,
+                   starts_ref, hasp_ref, lidx_ref, lhi_ref, llo_ref,
+                   gblk_ref, gf_ref, gs0_ref, patchg_ref, wt_ref, x_ref,
+                   dx_ref, dwt_ref, win_scr, patch_scr, ext_scr, sems,
+                   psem):
+    """COMBINED backward: ONE ext(g) build feeds both the d_x conv (flipped
+    stencil, `_conv_stage`) and the weight-gradient contraction
+    (`_dw_stage` with x as the cotangent) — the separate-kernel backward
+    paid the ext build twice per conv. Identity: d_W[delta] =
+    sum_q x[q] (x) ext(g)[q - delta], i.e. the dw adjoint of the FLIPPED
+    parameterization; the wrapper maps it back with flip_weights (a
+    self-adjoint permutation-transpose)."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    _build_ext_v2(t, dim, Cg, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
+                  lhi_ref, llo_ref, gblk_ref, gf_ref, gs0_ref, patchg_ref,
+                  win_scr, patch_scr, ext_scr, sems, psem)
+    _conv_stage(t, dim, Cg, Cx, ext_scr, wt_ref, dx_ref)
+    _dw_stage(t, dim, Cg, Cx, b, n, ext_scr, x_ref, dwt_ref)
 
 
 def _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
@@ -504,7 +596,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
     ecells = (t + 2) ** dim
     win = spec.window.shape[-1]
     P = spec.corr_src.shape[1]
-    Cout = wt.shape[-1] // t
+    Cout = wt.shape[-1] // t ** (dim - 1)
     nb = spec.starts.shape[2]
     Bk = T // nb
     lanes = cells * C
@@ -532,18 +624,23 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
         # window source (the old jnp.pad(xf, (0, win)) full-array copies
         # were ~100 ms/step of pure HBM traffic at bench scale)
         xs0 = _preslice0(xf, C, t, dim)
+        Gk = spec.lidx_hi.shape[2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
                              lambda b, n, st, hp: (b, n, 0, 0)),
+                pl.BlockSpec((1, 1, Gk, 1),
+                             lambda b, n, st, hp: (b, n, 0, 0)),
+                pl.BlockSpec((1, 1, Gk, 1),
+                             lambda b, n, st, hp: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p),
                              lambda b, n, st, hp: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
                 pl.BlockSpec(memory_space=pl.ANY),   # xs0
                 pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-                pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
+                pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Bk, olanes_p),
                                    lambda b, n, st, hp: (b, n, 0)),
@@ -563,8 +660,8 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, lidx, xf, xf, xs0, patch,
-          wt.astype(x.dtype))
+        )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
+          xs0, patch, wt.astype(x.dtype))
         return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
     xs = _preslice(xf, C, t, dim, 1)
@@ -577,7 +674,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
                          lambda b, n, st, hp: (b, n, 0, 0)),
             pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Bk, olanes_p),
                                lambda b, n, st, hp: (b, n, 0)),
@@ -598,11 +695,112 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
     return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_mat(cells: int, Cout: int, mlanes_p: int, olanes_p: int):
+    """(mlanes_p, olanes_p) one-hot: lane c of the cell-mask broadcasts to
+    out lanes [c*Cout, (c+1)*Cout)."""
+    E = np.zeros((mlanes_p, olanes_p), np.float32)
+    for c in range(cells):
+        E[c, c * Cout:(c + 1) * Cout] = 1.0
+    return E
+
+
+def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
+                           interpret: bool = False):
+    """Inference-only megafusion: mask * leaky_{alpha}(conv(x) * a + b) in
+    ONE kernel — the following BNAct's folded affine, activation and
+    submanifold re-masking apply to the f32 accumulator in VMEM instead of
+    a separate elementwise HBM pass per conv->BN pair.
+
+    x (B,T,cells,Cin), w (3^dim,Cin,Cout), a/b (Cout,), mask (B,T,cells)
+    bool. Returns None when the v2 layout is unavailable or Cin would need
+    chunking (the epilogue is nonlinear, so per-chunk sums can't fold) —
+    callers fall back to the unfused pipeline."""
+    B, T, cells, C = x.shape
+    Cout = w.shape[-1]
+    ecells = (t + 2) ** dim
+    win = spec.window.shape[-1]
+    P = spec.corr_src.shape[1]
+    nb = spec.starts.shape[2]
+    Bk = T // nb
+    itemsize = np.dtype(x.dtype).itemsize
+    per_c = _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize)
+    grouped = _grouped_now(dim)
+    v2 = _v2_layout(t, dim, C) if grouped else None
+    if v2 is None or C > max(8, _SCRATCH_BUDGET // per_c):
+        return None
+    seg0_l, seg1_l, planes_v2 = v2
+    lanes = cells * C
+    olanes = cells * Cout
+    lanes_p = _round_up(lanes, 128)
+    olanes_p = _round_up(olanes, 128)
+    mlanes_p = _round_up(cells, 128)
+    elanes_p = _round_up(ecells * C, 128)
+
+    wt = toeplitz_weights(w, t, dim, x.dtype)
+    xf = jnp.pad(x.reshape(B, T, lanes),
+                 ((0, 0), (0, 0), (0, lanes_p - lanes)))
+    patch = _patch_rows_v2(xf, spec, t, dim, C)
+    xs0 = _preslice0(xf, C, t, dim)
+    lidx = spec.lidx
+    hasp = spec.hasp
+    ab = jnp.stack([jnp.tile(a.astype(jnp.float32), cells),
+                    jnp.tile(b.astype(jnp.float32), cells)])
+    ab = jnp.pad(ab, ((0, 0), (0, olanes_p - olanes)))
+    mk = jnp.pad(mask.astype(x.dtype),
+                 ((0, 0), (0, 0), (0, mlanes_p - cells)))
+    emat = jnp.asarray(_expand_mat(cells, Cout, mlanes_p, olanes_p),
+                       dtype=x.dtype)
+    Gk = spec.lidx_hi.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, lidx.shape[2], Bk),
+                         lambda b, n, st, hp: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, Gk, 1),
+                         lambda b, n, st, hp: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, Gk, 1),
+                         lambda b, n, st, hp: (b, n, 0, 0)),
+            pl.BlockSpec((1, Bk, lanes_p),
+                         lambda b, n, st, hp: (b, n, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
+            pl.BlockSpec(memory_space=pl.ANY),   # xs0
+            pl.BlockSpec(memory_space=pl.ANY),   # patch rows
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0)),
+            pl.BlockSpec((2, olanes_p), lambda b, n, st, hp: (0, 0)),
+            pl.BlockSpec((1, Bk, mlanes_p),
+                         lambda b, n, st, hp: (b, n, 0)),
+            pl.BlockSpec((mlanes_p, olanes_p),
+                         lambda b, n, st, hp: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Bk, olanes_p),
+                               lambda b, n, st, hp: (b, n, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, planes_v2), x.dtype),
+            pltpu.VMEM((max(P, 1), planes_v2), x.dtype),
+            pltpu.VMEM((Bk, elanes_p), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel_v2_bn, t, dim, C, Cout, win, P,
+                          T, Bk, float(alpha)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf, xs0,
+      patch, wt.astype(x.dtype), ab, mk, emat)
+    return out[:, :, :olanes].reshape(B, T, cells, Cout)
+
+
 def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
                  interpret: bool = False) -> jnp.ndarray:
     """Weight gradient of the fused halo conv WITHOUT materializing the
     halo-extended array in HBM: x (B, T, t^dim, Cin), g (B, T, t^dim, Cout)
-    -> banded-Toeplitz cotangent (3, span*Cin, t*Cout) f32.
+    -> row-group banded cotangent (3*(t+2)^(dim-1)*Cin, t^(dim-1)*Cout) f32.
 
     Same stage-1 ext build as the forward (window DMAs + one-hot gathers +
     patch corrections, in VMEM); the contraction accumulates into one
@@ -621,9 +819,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
     olanes_p = _round_up(olanes, 128)
     _, _, planes_p = _lane_layout(t, dim, C)
     elanes_p = _round_up(ecells * C, 128)
-    _, span = _out_groups(t, dim)
-    Kl = span * C
-    No = t * Cout
+    _, Kl, No = _row_group_geom(t, dim, C, Cout)
     Kl_p = _round_up(Kl, 8)
     No_p = _round_up(No, 128)
 
@@ -635,19 +831,24 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
     hasp = spec.hasp
     grouped = _grouped_now(dim)
     v2 = _v2_layout(t, dim, C) if grouped else None
-    out_spec = pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp: (0, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((3, Kl_p, No_p), jnp.float32)
+    out_spec = pl.BlockSpec((Kl_p, No_p), lambda b, n, st, hp: (0, 0))
+    out_shape = jax.ShapeDtypeStruct((Kl_p, No_p), jnp.float32)
 
     if v2 is not None:
         seg0_l, seg1_l, planes_v2 = v2
         patch = _patch_rows_v2(xf, spec, t, dim, C)
         # no row padding: spec starts clamped to [0, T - win] at build time
         xs0 = _preslice0(xf, C, t, dim)
+        Gk = spec.lidx_hi.shape[2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
+                             lambda b, n, st, hp: (b, n, 0, 0)),
+                pl.BlockSpec((1, 1, Gk, 1),
+                             lambda b, n, st, hp: (b, n, 0, 0)),
+                pl.BlockSpec((1, 1, Gk, 1),
                              lambda b, n, st, hp: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p),
                              lambda b, n, st, hp: (b, n, 0)),
@@ -674,8 +875,9 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, lidx, xf, xf, xs0, patch, gf)
-        return dwt[:, :Kl, :No]
+        )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
+          xs0, patch, gf)
+        return dwt[:Kl, :No]
 
     xs = _preslice(xf, C, t, dim, 1)
     xs = _with_patch_rows(xs, spec, win)
@@ -704,14 +906,149 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(spec.starts, hasp, lidx, xf, xs, gf)
-    return dwt[:, :Kl, :No]
+    return dwt[:Kl, :No]
+
+
+def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
+                  spec, t: int, dim: int, interpret: bool = False):
+    """Combined backward on the v2 layout: g (B, T, t^dim, Cg) cotangent,
+    x (B, T, t^dim, Cx) saved input, wt = toeplitz_weights(flip_weights(w))
+    -> (d_x (B, T, t^dim, Cx), dwt_flip (3*(t+2)^(dim-1)*Cg,
+    t^(dim-1)*Cx) f32). One ext(g) build serves both outputs (see
+    `_bwd_kernel_v2`). Returns None when v2 is unavailable — callers fall
+    back to the two-kernel path."""
+    B, T, cells, Cg = g.shape
+    Cx = x.shape[-1]
+    ecells = (t + 2) ** dim
+    win = spec.window.shape[-1]
+    P = spec.corr_src.shape[1]
+    nb = spec.starts.shape[2]
+    Bk = T // nb
+    grouped = _grouped_now(dim)
+    v2 = _v2_layout(t, dim, Cg) if grouped else None
+    if v2 is None:
+        return None
+    seg0_l, seg1_l, planes_v2 = v2
+    glanes = cells * Cg
+    xlanes = cells * Cx
+    glanes_p = _round_up(glanes, 128)
+    xlanes_p = _round_up(xlanes, 128)
+    elanes_p = _round_up(ecells * Cg, 128)
+    _, Kl, No = _row_group_geom(t, dim, Cg, Cx)
+    Kl_p = _round_up(Kl, 8)
+    No_p = _round_up(No, 128)
+
+    gf = jnp.pad(g.reshape(B, T, glanes),
+                 ((0, 0), (0, 0), (0, glanes_p - glanes)))
+    xf = jnp.pad(x.astype(g.dtype).reshape(B, T, xlanes),
+                 ((0, 0), (0, 0), (0, xlanes_p - xlanes)))
+    patch = _patch_rows_v2(gf, spec, t, dim, Cg)
+    gs0 = _preslice0(gf, Cg, t, dim)
+    lidx = spec.lidx
+    hasp = spec.hasp
+    Gk = spec.lidx_hi.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, lidx.shape[2], Bk),
+                         lambda b, n, st, hp: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, Gk, 1),
+                         lambda b, n, st, hp: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, Gk, 1),
+                         lambda b, n, st, hp: (b, n, 0, 0)),
+            pl.BlockSpec((1, Bk, glanes_p),
+                         lambda b, n, st, hp: (b, n, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # gf (row windows)
+            pl.BlockSpec(memory_space=pl.ANY),   # gs0
+            pl.BlockSpec(memory_space=pl.ANY),   # patch rows
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0)),
+            pl.BlockSpec((1, Bk, xlanes_p),
+                         lambda b, n, st, hp: (b, n, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Bk, xlanes_p),
+                         lambda b, n, st, hp: (b, n, 0)),
+            pl.BlockSpec((Kl_p, No_p), lambda b, n, st, hp: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, planes_v2), g.dtype),
+            pltpu.VMEM((max(P, 1), planes_v2), g.dtype),
+            pltpu.VMEM((Bk, elanes_p), g.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    d_x, dwt = pl.pallas_call(
+        functools.partial(_bwd_kernel_v2, t, dim, Cg, Cx, win, P, T, Bk),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, T, xlanes_p), g.dtype),
+                   jax.ShapeDtypeStruct((Kl_p, No_p), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, gf, gf, gs0,
+      patch, wt.astype(g.dtype), xf)
+    return (d_x[:, :, :xlanes].reshape(B, T, cells, Cx), dwt[:Kl, :No])
+
+
+def _bwd_impl(x, w, g, spec, t, dim, interpret=False):
+    """Combined d_x + d_w backward, chunked over the COTANGENT channels Cg
+    (the conv contracts Cg for d_x -> per-chunk d_x SUM; per-chunk dwt rows
+    map to disjoint Cout rows of d_wf -> concat). Falls back to the
+    separate d_x/d_W kernels when the v2 layout is unavailable."""
+    B, T, cells, Cx = x.shape
+    Cg = g.shape[-1]
+    itemsize = np.dtype(g.dtype).itemsize
+    Bk = T // spec.starts.shape[2]
+    P = spec.corr_src.shape[1]
+    win = spec.window.shape[-1]
+    # per-Cg VMEM: shared ext machinery + flipped weight block + the f32
+    # dwt block rows (4 bytes) + the extra x input block
+    per_c = (_per_c_bytes(t, dim, Cx, win, P, Bk, itemsize)
+             + 3 * (t + 2) ** (dim - 1) * t ** (dim - 1) * Cx * 4)
+    max_c = max(8, _SCRATCH_BUDGET // per_c)
+    wf = flip_weights(w)                       # (3^dim, Cg, Cx)
+    grouped = _grouped_now(dim)
+    if (_v2_layout(t, dim, min(Cg, max_c)) if grouped else None) is None:
+        d_x = _fused_impl(g, wf.astype(g.dtype), spec, t, dim,
+                          interpret=interpret)
+        d_w = _dw_impl(x, g, spec, t, dim, interpret=interpret)
+        return d_x, d_w
+    if Cg <= max_c:
+        chunks = [(0, Cg)]
+    else:
+        nchunks = -(-Cg // max_c)
+        cc = -(-Cg // nchunks)
+        if Cg % 8 == 0:
+            cc = _round_up(cc, 8)
+        chunks = [(o, min(cc, Cg - o)) for o in range(0, Cg, cc)]
+    d_x_acc = None
+    dwf_parts = []
+    for (o, cc) in chunks:
+        wt = toeplitz_weights(wf[:, o:o + cc, :], t, dim, g.dtype)
+        res = halo_conv_bwd(g[..., o:o + cc], x, wt, spec, t, dim,
+                            interpret=interpret)
+        if res is None:     # alignment lost on a tail chunk: fall back
+            d_x = _fused_impl(g, wf.astype(g.dtype), spec, t, dim,
+                              interpret=interpret)
+            d_w = _dw_impl(x, g, spec, t, dim, interpret=interpret)
+            return d_x, d_w
+        d_x_p, dwt = res
+        d_x_acc = (d_x_p.astype(jnp.float32) if d_x_acc is None
+                   else d_x_acc + d_x_p)
+        dwf_parts.append(toeplitz_adjoint(dwt, t, dim, cc, Cx))
+    d_wf = (dwf_parts[0] if len(dwf_parts) == 1
+            else jnp.concatenate(dwf_parts, axis=1))
+    # adjoint of w -> flip_weights(w) is flip_weights itself
+    d_w = flip_weights(d_wf)
+    return d_x_acc.astype(x.dtype), d_w
 
 
 def toeplitz_adjoint(d_wt: jnp.ndarray, t: int, dim: int, Cin: int,
                      Cout: int) -> jnp.ndarray:
-    """(3, span*Cin, t*Cout) banded-block cotangent -> d_w (3^dim, Cin,
-    Cout): the linear transpose of `toeplitz_weights` (exact — the band
-    build is linear in w)."""
+    """Row-group banded cotangent (3*(t+2)^(dim-1)*Cin, t^(dim-1)*Cout)
+    -> d_w (3^dim, Cin, Cout): the linear transpose of `toeplitz_weights`
+    (exact — the band build is linear in w)."""
     f = lambda w: toeplitz_weights(w, t, dim, jnp.float32)
     ex = jax.ShapeDtypeStruct((3 ** dim, Cin, Cout), jnp.float32)
     (d_w,) = jax.linear_transpose(f, ex)(d_wt.astype(jnp.float32))
@@ -723,12 +1060,11 @@ def _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize):
     packl = -(-_lane_layout(t, dim, 32)[2] // 32)
     ecells = (t + 2) ** dim
     cells = t ** dim
-    span = (3 * (t + 2)) if dim == 3 else (t + 2)
-    wt_rows = 3 * span
+    wt_rows = 3 * (t + 2) ** (dim - 1)   # row-group band rows per Cin
     return ((2 * win + P) * packl        # window scratch (double-buffered)
             + Bk * ecells                # ext scratch
             + 2 * Bk * cells             # in blocks (double-buffered)
-            + wt_rows * t * Cout // max(Cout, 1)  # weight (per-Cin rows)
+            + wt_rows * t ** (dim - 1) * Cout  # row-group weight block
             ) * itemsize
 
 
@@ -829,15 +1165,14 @@ def _fhc_fwd(x, w, spec, t, dim):
 
 def _fhc_bwd(t, dim, res, g):
     x, w, spec = res
-    # adjoint data path: same fused kernel, flipped stencil, same spec
-    d_x = _fused_impl(g, flip_weights(w).astype(g.dtype), spec, t, dim)
-    # weight grad: ext-free Pallas kernel (the XLA `_dw_recompute` oracle
-    # materialized the full halo-extended array per conv — 932 MB at level
-    # 0 / batch 4 — and capped training at batch 2)
-    d_w = _dw_impl(x, g, spec, t, dim).astype(w.dtype)
+    # COMBINED kernel: one ext(g) build feeds the adjoint data path (same
+    # fused conv, flipped stencil) AND the weight-grad contraction (x as
+    # the dw cotangent) — the separate-kernel path built ext twice. Falls
+    # back to the two-kernel path off the v2 layout.
+    d_x, d_w = _bwd_impl(x, w, g, spec, t, dim)
     d_spec = jax.tree_util.tree_map(
         lambda v: np.zeros(v.shape, jax.dtypes.float0), spec)
-    return d_x, d_w, d_spec
+    return d_x, d_w.astype(w.dtype), d_spec
 
 
 fused_halo_conv.defvjp(_fhc_fwd, _fhc_bwd)

@@ -232,6 +232,32 @@ def submanifold_conv_tiled(x, occ, halo, t: int, dim: int, w) -> jnp.ndarray:
     return out * occ[..., None].astype(dt)
 
 
+def submanifold_conv_bn_act_tiled(x, occ, halo, t: int, dim: int, w,
+                                  a, b, alpha: float, mask) -> jnp.ndarray:
+    """Inference megafusion: mask * leaky_{alpha}(conv(x) * a + b).
+
+    Folds the BNAct that FOLLOWS a submanifold conv (plus the submanifold
+    re-masking) into the conv kernel's epilogue — one HBM pass instead of
+    conv + elementwise. Dispatch mirrors `submanifold_conv_tiled`; the
+    unfused XLA composition below is the exact oracle (and the CPU/f32
+    path). mask (B, T, cells) bool is the full active-cell mask."""
+    use = USE_FUSED
+    if use is None:
+        use = (jax.default_backend() == "tpu"
+               and x.dtype == jnp.bfloat16)
+    if use:
+        from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
+            fused_halo_conv_bn_act)
+        out = fused_halo_conv_bn_act(x, w.astype(x.dtype), a, b, mask,
+                                     alpha, halo, t, dim)
+        if out is not None:
+            return out
+    y = submanifold_conv_tiled(x, occ, halo, t, dim, w)
+    z = y * a.astype(y.dtype) + b.astype(y.dtype)
+    z = jnp.where(z >= 0, z, jnp.asarray(alpha, z.dtype) * z)
+    return z * mask[..., None].astype(z.dtype)
+
+
 def _assemble_impl(blocks: jnp.ndarray, children: Tuple[GatherSpec, ...],
                    t_c: int, dim: int) -> jnp.ndarray:
     B, Tf, cells_h, C = blocks.shape
