@@ -259,6 +259,45 @@ def test_fused_bn_act_epilogue_matches_composition():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_flat_chained_pair_matches_composition():
+    """conv_a (BN fold, flat_out=True) -> conv_b (identity affine + mask,
+    flat input) through the interpret-mode kernels vs the composed oracle:
+    the flat handoff (raw padded rows, garbage pad lanes) must be
+    invisible to the result. This is the eval res-block inner pipeline."""
+    from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
+        fused_halo_conv_bn_act)
+    dim, G, t, C = 3, 8, 4, 16
+    alpha = 0.01
+    rng = np.random.default_rng(7)
+    B, T = 2, 64
+    keys = [_random_level(rng, G, dim, T, 40)[0] for _ in range(B)]
+    _, spec = _spec_batched(keys, G, dim)
+    x = jnp.asarray(rng.normal(size=(B, T, t ** dim, C)).astype(np.float32))
+    w_a = jnp.asarray(
+        rng.normal(size=(3 ** dim, C, C)).astype(np.float32)) * 0.3
+    w_b = jnp.asarray(
+        rng.normal(size=(3 ** dim, C, C)).astype(np.float32)) * 0.3
+    a = jnp.asarray(rng.normal(size=(C,)).astype(np.float32)) * 0.5 + 1.0
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32)) * 0.2
+    mask = jnp.asarray(rng.random((B, T, t ** dim)) > 0.3)
+
+    z = _oracle(x, spec, t, dim, w_a) * a + b
+    z = jnp.where(z >= 0, z, alpha * z)
+    y_ref = z * mask[..., None]
+    ref = _oracle(y_ref, spec, t, dim, w_b) * mask[..., None]
+
+    y_flat = fused_halo_conv_bn_act(x, w_a, a, b, mask, alpha, spec, t,
+                                    dim, interpret=True, flat_out=True)
+    assert y_flat is not None and y_flat.ndim == 3
+    ones = jnp.ones((C,), jnp.float32)
+    zeros = jnp.zeros((C,), jnp.float32)
+    out = fused_halo_conv_bn_act(y_flat, w_b, ones, zeros, mask, 1.0,
+                                 spec, t, dim, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_fused_bn_act_model_path_matches_unfused():
     """The tiled model's eval forward with the epilogue fold vs the same
     weights through the train-structured (unfused) composition: force the

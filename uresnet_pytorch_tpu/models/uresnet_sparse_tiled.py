@@ -40,18 +40,29 @@ class SMConvTile(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, level, t, bn_act=None):
+    def __call__(self, x, level, t, bn_act=None, flat_out=False,
+                 mask_act=None, cin=None):
         cfg = self.cfg
         K = 3 ** cfg.data_dim
-        w = self.param("w", _conv_init, (K, x.shape[-1], self.features))
-        if bn_act is not None:
+        if cin is None:
+            assert x.ndim == 4, "flat input requires explicit cin"
+            cin = x.shape[-1]
+        w = self.param("w", _conv_init, (K, cin, self.features))
+        if bn_act is not None or mask_act is not None:
             # inference megafusion: the FOLLOWING BNAct's folded affine +
-            # activation + submanifold re-mask run in the conv kernel's
-            # epilogue (ops/tile_conv.submanifold_conv_bn_act_tiled)
-            a, b, alpha, mask = bn_act
+            # activation + submanifold re-mask — or, for mask_act, just
+            # the occupancy re-mask via the identity affine — run in the
+            # conv kernel's epilogue. flat_out chains the raw padded row
+            # into the next fused conv (best-effort; rank-4 on fallback).
+            if bn_act is not None:
+                a, b, alpha, mask = bn_act
+            else:
+                a = jnp.ones((self.features,), jnp.float32)
+                b = jnp.zeros((self.features,), jnp.float32)
+                alpha, mask = 1.0, mask_act
             return submanifold_conv_bn_act_tiled(
                 x.astype(cfg.compute_dtype), level.occ, level.halo, t,
-                cfg.data_dim, w, a, b, alpha, mask)
+                cfg.data_dim, w, a, b, alpha, mask, flat_out=flat_out)
         out = submanifold_conv_tiled(
             x.astype(cfg.compute_dtype), level.occ, level.halo, t,
             cfg.data_dim, w)
@@ -81,19 +92,24 @@ class SparseResBlockTile(nn.Module):
         if train:
             y = SMConvTile(cfg, self.features, name="conv_a")(y, level, t)
             y = _bn_flat(cfg, "bn_b", self, y, mask, train)
+            y = SMConvTile(cfg, self.features, name="conv_b")(y, level, t)
         else:
             # bn_b follows conv_a with nothing in between: fold its eval
             # affine + activation + re-mask into conv_a's kernel epilogue
             # (one HBM pass fewer; exact — tests pin equivalence). bn_b's
             # params are created identically via return_affine, so the
             # parameter tree is train/eval- and checkpoint-invariant.
+            # conv_a hands conv_b its raw padded flat row (flat_out: skips
+            # a slice+pad HBM round trip), and conv_b fuses its occupancy
+            # re-mask via the identity affine.
             dummy = jnp.zeros((1, self.features), cfg.compute_dtype)
             a, b = BNAct(cfg, name="bn_b", parent=self)(
                 dummy, jnp.zeros((1,), bool), False, return_affine=True)
             y = SMConvTile(cfg, self.features, name="conv_a")(
                 y, level, t,
-                bn_act=(a, b, cfg.leaky_relu_slope, mask))
-        y = SMConvTile(cfg, self.features, name="conv_b")(y, level, t)
+                bn_act=(a, b, cfg.leaky_relu_slope, mask), flat_out=True)
+            y = SMConvTile(cfg, self.features, name="conv_b")(
+                y, level, t, mask_act=mask, cin=self.features)
         return shortcut + y
 
 

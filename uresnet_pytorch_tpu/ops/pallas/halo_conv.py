@@ -11,17 +11,17 @@ emitting conv-ready flat output in one HBM pass:
      (per-offset monotone windows, persistent patch rows, per-block-gated
      corrections), but the halo-extended block lands in a VMEM scratch
      instead of HBM.
-  2. The 3^d conv runs as x-line **Toeplitz dots**: for each output
-     row-group g = (o0[, o1]) over the tile's leading axes, the three
-     d0-slices of the ext scratch (each a contiguous lane range of
-     3^(dim-2)*(t+2)*C — the (o1..o1+2, a2, C) band of ext row o0+d0)
-     are dotted against banded weight blocks of shape (Kl, t*Cout) built
-     by `toeplitz_weights`. K = 3*(t+2)*C for dim=3 (full MXU), the
-     output group is a contiguous t*Cout lane range of the flat
-     (t^dim*Cout) tile row — no reshapes anywhere.
-  3. The x-axis Toeplitz band overcomputes by 2x FLOPs ((t+2) window vs
-     t+2-needed... the (a2, o2) band is (t+2) x t with 3 live diagonals),
-     a measured win against the deleted HBM round trip and glue.
+  2. The 3^d conv runs as **row-group Toeplitz dots**: output x-row o0
+     (t^(dim-1) cells) is ONE MXU dot of the contiguous ext lane slice
+     covering ext x-rows o0..o0+2 (3*(t+2)^(dim-1)*C lanes) against a
+     single banded weight block built by `toeplitz_weights` — t dots per
+     grid step for the whole 3^dim conv, outputs landing in contiguous
+     t^(dim-1)*Cout lane ranges of the flat tile row. No reshapes
+     anywhere.
+  3. The 2-D band overcomputes ~4x in FLOPs (each output reads a
+     3-wide band of each trailing axis out of the (t+2)-wide rows), a
+     measured win: the kernels are per-op-SEQUENCING-bound (~170 small
+     ops/grid-step profiled), so 4 big dots beat 48 small ones.
 
 Backward: the adjoint of (global 3^d stencil restricted to the active
 tile set) is the same stencil with flipped weights on the same set, so
@@ -706,17 +706,24 @@ def _expand_mat(cells: int, Cout: int, mlanes_p: int, olanes_p: int):
 
 
 def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
-                           interpret: bool = False):
+                           interpret: bool = False, flat_out: bool = False):
     """Inference-only megafusion: mask * leaky_{alpha}(conv(x) * a + b) in
     ONE kernel — the following BNAct's folded affine, activation and
     submanifold re-masking apply to the f32 accumulator in VMEM instead of
-    a separate elementwise HBM pass per conv->BN pair.
+    a separate elementwise HBM pass per conv->BN pair. An identity affine
+    (a=1, b=0, alpha=1) turns this into conv + fused occupancy masking.
 
-    x (B,T,cells,Cin), w (3^dim,Cin,Cout), a/b (Cout,), mask (B,T,cells)
-    bool. Returns None when the v2 layout is unavailable or Cin would need
+    x (B,T,cells,Cin) — or already-flat (B,T,lanes_p) from a previous
+    call's flat_out=True (pad lanes may hold garbage; the kernel never
+    reads them). w (3^dim,Cin,Cout), a/b (Cout,), mask (B,T,cells) bool.
+    flat_out=True returns the raw padded (B,T,olanes_p) row so the NEXT
+    fused conv can consume it without a slice+pad HBM round trip.
+    Returns None when the v2 layout is unavailable or Cin would need
     chunking (the epilogue is nonlinear, so per-chunk sums can't fold) —
     callers fall back to the unfused pipeline."""
-    B, T, cells, C = x.shape
+    B, T = x.shape[:2]
+    cells = t ** dim
+    C = w.shape[1]
     Cout = w.shape[-1]
     ecells = (t + 2) ** dim
     win = spec.window.shape[-1]
@@ -738,8 +745,12 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
     elanes_p = _round_up(ecells * C, 128)
 
     wt = toeplitz_weights(w, t, dim, x.dtype)
-    xf = jnp.pad(x.reshape(B, T, lanes),
-                 ((0, 0), (0, 0), (0, lanes_p - lanes)))
+    if x.ndim == 3:
+        assert x.shape[-1] == lanes_p, (x.shape, lanes_p)
+        xf = x
+    else:
+        xf = jnp.pad(x.reshape(B, T, lanes),
+                     ((0, 0), (0, 0), (0, lanes_p - lanes)))
     patch = _patch_rows_v2(xf, spec, t, dim, C)
     xs0 = _preslice0(xf, C, t, dim)
     lidx = spec.lidx
@@ -793,6 +804,8 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
         interpret=interpret,
     )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf, xs0,
       patch, wt.astype(x.dtype), ab, mk, emat)
+    if flat_out:
+        return out
     return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
 

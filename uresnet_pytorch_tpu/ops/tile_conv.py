@@ -233,14 +233,22 @@ def submanifold_conv_tiled(x, occ, halo, t: int, dim: int, w) -> jnp.ndarray:
 
 
 def submanifold_conv_bn_act_tiled(x, occ, halo, t: int, dim: int, w,
-                                  a, b, alpha: float, mask) -> jnp.ndarray:
+                                  a, b, alpha: float, mask,
+                                  flat_out: bool = False) -> jnp.ndarray:
     """Inference megafusion: mask * leaky_{alpha}(conv(x) * a + b).
 
     Folds the BNAct that FOLLOWS a submanifold conv (plus the submanifold
     re-masking) into the conv kernel's epilogue — one HBM pass instead of
-    conv + elementwise. Dispatch mirrors `submanifold_conv_tiled`; the
-    unfused XLA composition below is the exact oracle (and the CPU/f32
-    path). mask (B, T, cells) bool is the full active-cell mask."""
+    conv + elementwise. An identity affine (a=1, b=0, alpha=1) fuses plain
+    conv + occupancy masking. Dispatch mirrors `submanifold_conv_tiled`;
+    the unfused XLA composition below is the exact oracle (and the CPU/f32
+    path). mask (B, T, cells) bool is the full active-cell mask.
+
+    Flat chaining: x may be the raw padded (B, T, lanes_p) row from a
+    previous call's flat_out=True, and flat_out=True returns the same form
+    — consecutive fused convs then skip the slice+pad HBM round trip.
+    Both are BEST-EFFORT: callers must accept a rank-4 result (fallback
+    paths reshape), and this function accepts either rank on input."""
     use = USE_FUSED
     if use is None:
         use = (jax.default_backend() == "tpu"
@@ -249,9 +257,14 @@ def submanifold_conv_bn_act_tiled(x, occ, halo, t: int, dim: int, w,
         from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
             fused_halo_conv_bn_act)
         out = fused_halo_conv_bn_act(x, w.astype(x.dtype), a, b, mask,
-                                     alpha, halo, t, dim)
+                                     alpha, halo, t, dim, flat_out=flat_out)
         if out is not None:
             return out
+    if x.ndim == 3:     # flat row from a previous fused conv: un-flatten
+        B, T = x.shape[:2]
+        cells = t ** dim
+        Cin = w.shape[1]
+        x = x[:, :, :cells * Cin].reshape(B, T, cells, Cin)
     y = submanifold_conv_tiled(x, occ, halo, t, dim, w)
     z = y * a.astype(y.dtype) + b.astype(y.dtype)
     z = jnp.where(z >= 0, z, jnp.asarray(alpha, z.dtype) * z)
