@@ -39,7 +39,7 @@ def _link(dim=3, spatial=16, voxels=150, seed=0):
     link = graph.links[0]
     assert len(link.children) > 1, "need a real (non-identity) link"
     t_c = 4
-    Tf = link.parent.idx.shape[1]
+    Tf = link.parents[0].idx.shape[1]
     Tc = link.children[0].idx.shape[1]
     return link, t_c, Tf, Tc
 

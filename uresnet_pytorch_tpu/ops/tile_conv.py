@@ -291,17 +291,19 @@ def _assemble_impl(blocks: jnp.ndarray, children: Tuple[GatherSpec, ...],
 def _parent_corner_impl(xc: jnp.ndarray, link, t_c: int,
                         dim: int) -> jnp.ndarray:
     """(B, Tc, t_c^dim, C) coarse tiles -> (B, Tf, (t_c/2)^dim, C): each
-    fine tile pulls its parent tile (windowed permutation) and selects its
-    corner with an octant one-hot contraction."""
+    fine tile pulls its own corner of its parent tile straight from the
+    coarse CORNER VIEW, one windowed permutation per octant (per-octant
+    the fine->parent rank map is strictly monotone — see
+    tile_graph.TileDownLink.parents). Specs have disjoint valid rows, so
+    the per-octant results sum."""
     th = t_c // 2
     C = xc.shape[-1]
-    flat = xc.reshape(xc.shape[0], xc.shape[1], -1)
-    g = windowed_gather(flat, link.parent)          # (B, Tf, t_c^d * C)
-    B, Tf = g.shape[:2]
-    corners = _corner_view(g.reshape(B, Tf, t_c ** dim, C), t_c, dim)
-    corners = corners.reshape(B, Tf, 2 ** dim, th ** dim * C)
-    oh = jax.nn.one_hot(link.octant, 2 ** dim, dtype=xc.dtype)
-    out = jnp.einsum("bto,btof->btf", oh, corners)
+    cv = _corner_view(xc, t_c, dim)          # (B, Tc*2^dim, th^dim*C)
+    out = None
+    for spec in link.parents:
+        g = windowed_gather(cv, spec)        # zeros where not this octant
+        out = g if out is None else out + g
+    B, Tf = out.shape[:2]
     return out.reshape(B, Tf, th ** dim, C)
 
 

@@ -63,8 +63,14 @@ class TileLevel(NamedTuple):
 
 class TileDownLink(NamedTuple):
     children: Tuple[GatherSpec, ...]  # 2^d specs: coarse row <- fine tile row
-    parent: GatherSpec                # fine row <- coarse TILE row (unscaled)
-    octant: jnp.ndarray               # (B, Tf) corner of each fine tile
+    parents: Tuple[GatherSpec, ...]   # 2^d specs: fine row <- CORNER-VIEW row
+    #   (8*parent_rank + octant). Per-octant because fine-lex -> coarse-lex
+    #   halving back-jumps where a trailing coordinate wraps, but restricted
+    #   to one corner parity it is STRICTLY monotone — so each spec's
+    #   windows stay narrow and the old 4096-entry structural correction
+    #   list (whose size scaled with event structure) is gone. Gathering
+    #   corner-view rows also deletes the decoder's octant one-hot
+    #   contraction at equal total gather cost (same lanes moved).
     overflow: jnp.ndarray             # (B,)
 
 
@@ -92,7 +98,9 @@ def graph_overflows(graph: "TileGraph") -> jnp.ndarray:
     for link in graph.links:
         for spec in link.children:
             tot = tot + spec.overflow.sum()
-        tot = tot + link.parent.overflow.sum() + link.overflow.sum()
+        for spec in link.parents:
+            tot = tot + spec.overflow.sum()
+        tot = tot + link.overflow.sum()
     return tot
 
 
@@ -301,7 +309,8 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
                                          cok_all[o], Tf,
                                          LINK_BLOCK, win_mult=6))
     # fine -> (parent, octant) for the decoder; parent keys of sorted fine
-    # keys are non-decreasing (coord halving preserves lex order)
+    # keys are non-decreasing per octant (coord halving back-jumps only
+    # where a trailing coordinate wraps ACROSS parities)
     pidx, pok, pdrop = lookup_monotone(
         keys_c, encode(fc >> 1, valid, grid_c)[None], corr_cap=4096)
     pidx, pok = pidx[0], pok[0]
@@ -309,14 +318,20 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     for d in range(dim):
         corner = (corner << 1) | (fc[..., d] & 1)
     corner = jnp.where(valid, corner, 0)
-    # parent gathers the WHOLE coarse tile (unscaled indices); the decoder
-    # selects the corner with an octant one-hot. The fine-lex -> coarse-lex
-    # map back-jumps by up to a slab length where a fine coordinate wraps,
-    # so give this spec a wide window and a big exact-correction budget
-    # (upsample runs only once per level transition).
-    parent = make_gather_spec(pidx.astype(jnp.int32), pok, Tc, LINK_BLOCK,
-                              corr_cap=4096, win_mult=4)
-    return (keys_c, num_c, tuple(children), parent, corner, n_spill,
+    # PER-OCTANT parent specs over the coarse CORNER VIEW (row = parent
+    # rank * 2^dim + octant): restricted to one corner parity the fine-lex
+    # -> coarse-lex map is strictly monotone, so windows bracket cleanly
+    # and corrections return to the default budget — the old single spec
+    # needed a 4096-entry exact correction list because octant interleaving
+    # back-jumps broke its window model (and its windows had to carry whole
+    # coarse tiles; the corner view moves the same lanes once).
+    noct = 2 ** dim
+    idx2 = (pidx.astype(jnp.int32) * noct + corner).astype(jnp.int32)
+    parents = tuple(
+        make_gather_spec(idx2, pok & (corner == o), Tc * noct,
+                         LINK_BLOCK, corr_cap=1024, win_mult=4)
+        for o in range(noct))
+    return (keys_c, num_c, tuple(children), parents, n_spill,
             (cdrop + pdrop).astype(jnp.int32))
 
 
@@ -353,7 +368,7 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
             if t_c == t_l:
                 if Tc > keys.shape[1]:
                     Tc = keys.shape[1]
-                (keys_c, num_c, children, parent, octant, spill_c,
+                (keys_c, num_c, children, parents, spill_c,
                  lk_drop) = jax.vmap(
                     lambda k, oa: _down_link(k, oa, G_l, dim, Tc))(keys, occ_any)
                 tile_spill = tile_spill + spill_c.astype(jnp.int32)
@@ -378,14 +393,13 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
                     lambda ii, oo: make_gather_spec(ii, oo, Tc, LINK_BLOCK)
                 )(i, o)
                 children = (mk(ident, ok),)
-                parent = mk(ident, ok)
-                octant = jnp.zeros_like(ident)
+                parents = (mk(ident, ok),)   # unused (identity movement)
                 occ_c = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
                 lk_drop = jnp.zeros_like(num_c)
             # lk_drop: link-lookup pairs the rank-windowed lookup dropped
             # (counted into the same overflow surface as spec corrections)
-            links.append(TileDownLink(children, parent, octant,
+            links.append(TileDownLink(children, parents,
                                       lk_drop.astype(jnp.int32)))
             keys, num, occ = keys_c, num_c, occ_c
 
