@@ -11,17 +11,14 @@ emitting conv-ready flat output in one HBM pass:
      (per-offset monotone windows, persistent patch rows, per-block-gated
      corrections), but the halo-extended block lands in a VMEM scratch
      instead of HBM.
-  2. The 3^d conv runs as **row-group Toeplitz dots**: output x-row o0
-     (t^(dim-1) cells) is ONE MXU dot of the contiguous ext lane slice
-     covering ext x-rows o0..o0+2 (3*(t+2)^(dim-1)*C lanes) against a
-     single banded weight block built by `toeplitz_weights` — t dots per
-     grid step for the whole 3^dim conv, outputs landing in contiguous
-     t^(dim-1)*Cout lane ranges of the flat tile row. No reshapes
-     anywhere.
-  3. The 2-D band overcomputes ~4x in FLOPs (each output reads a
-     3-wide band of each trailing axis out of the (t+2)-wide rows), a
-     measured win: the kernels are per-op-SEQUENCING-bound (~170 small
-     ops/grid-step profiled), so 4 big dots beat 48 small ones.
+  2. The 3^d conv runs as **banded Toeplitz dots**: per output row-group
+     (o0[, o1]), 3 MXU dots (one per d0 block from `toeplitz_weights`)
+     of contiguous ext lane slices, outputs landing in contiguous t*Cout
+     lane ranges of the flat tile row. No reshapes anywhere.
+  3. The band overcomputes ~2x in FLOPs (each output reads a 3-wide band
+     of the last axis out of the (t+2)-wide rows). The r3 "row-group"
+     widening to t flat dots (4x overcompute, 8x weight block) measured
+     10% SLOWER on-chip and was reverted — see `toeplitz_weights`.
 
 Backward: the adjoint of (global 3^d stencil restricted to the active
 tile set) is the same stencil with flipped weights on the same set, so
@@ -84,20 +81,24 @@ def _toeplitz_band(t: int) -> np.ndarray:
 
 def toeplitz_weights(w: jnp.ndarray, t: int, dim: int,
                      dtype=None) -> jnp.ndarray:
-    """(3^dim, Cin, Cout) offset stack -> (3*(t+2)^(dim-1)*Cin,
-    t^(dim-1)*Cout) row-group banded block.
+    """(3^dim, Cin, Cout) offset stack -> (3, 3*(t+2)^(dim-2 or 0)*...
+    banded blocks: dim=3 (3, 3*(t+2)*Cin, t*Cout), dim=2 (3, (t+2)*Cin,
+    t*Cout).
 
-    ONE weight block maps three consecutive ext x-rows (x = o0..o0+2, each
-    e^(dim-1) cells) onto the full x-row of outputs (o0 fixed: t^(dim-1)
-    cells). Rows indexed by (d0, a1[, a2], ci), cols by (o1[, o2], co);
-    entry = w[d0, a1-o1, a2-o2] where every trailing delta lands on its
-    3-wide band, 0 elsewhere. Shared across o0, so the whole 3^dim conv of
-    a tile block is t MXU dots (was t^(dim-1)*3 small dots per block — the
-    kernels were measured per-op-sequencing-bound at ~170 ops/grid-step;
-    the band's ~4x FLOP overcompute is cheap next to 44 deleted op issues).
+    Block d0 maps the ext-scratch lane slice of row-group (o0+d0) onto the
+    t output x-positions: rows indexed by (d1, a2, ci) for dim=3 (by
+    (a1, ci) for dim=2), cols by (o_last, co); entry = w[d0, d1, a2-o, ...]
+    on the 3 live diagonals, 0 elsewhere (~2x band overcompute). The
+    single-flat row-group variant (r3 commit "Fewer-but-bigger kernel
+    ops") widened this to (3*(t+2)^2*Cin, t^2*Cout) — t dots/grid-step at
+    4x overcompute — and measured 10% SLOWER end-to-end on-chip (6.556 ->
+    5.90 ev/s at bench scale): the band doubled the conv FLOPs and the 8x
+    weight block shrank the Cin chunk budget at the deep levels. This is
+    the measured-good structure; don't re-widen without an on-chip number.
 
-    Built by ONE einsum against static band masks — a per-diagonal
-    .at[].set loop was measured at ~4000 tiny device ops per step."""
+    ONE einsum against a static band mask — the original per-diagonal
+    .at[].set loop emitted 3^dim*t tiny device ops PER CONV (~4000/step
+    at bench scale, ~40% of the measured step time)."""
     K, Cin, Cout = w.shape
     assert K == 3 ** dim
     if dtype is None:
@@ -107,25 +108,46 @@ def toeplitz_weights(w: jnp.ndarray, t: int, dim: int,
     wf = w.astype(jnp.float32)
     if dim == 3:
         w3 = wf.reshape(3, 3, 3, Cin, Cout)
-        # wt[d0, a1, a2, ci, o1, o2, co] = w3[d0, a1-o1, a2-o2] on the bands
-        wt = jnp.einsum("iao,jbp,xijcf->xabcopf", M, M, w3)
-        return wt.reshape(3 * e * e * Cin, t * t * Cout).astype(dtype)
+        # wt[d0, d1, x, ci, o, co] = w3[d0, d1, x - o] on the band
+        wt = jnp.einsum("dxo,abdcf->abxcof", M, w3)
+        return wt.reshape(3, 3 * e * Cin, t * Cout).astype(dtype)
     if dim == 2:
         w2 = wf.reshape(3, 3, Cin, Cout)
-        wt = jnp.einsum("iao,xicf->xacof", M, w2)
-        return wt.reshape(3 * e * Cin, t * Cout).astype(dtype)
+        wt = jnp.einsum("dxo,adcf->axcof", M, w2)
+        return wt.reshape(3, e * Cin, t * Cout).astype(dtype)
     raise ValueError(dim)
 
 
-def _row_group_geom(t: int, dim: int, C: int, Cout: int):
-    """(rows-per-x-row lane stride, weight rows Kl, out lanes per group No):
-    group o0 reads ext lanes [o0*rstride, o0*rstride + Kl) (three ext
-    x-rows) and writes out lanes [o0*No, (o0+1)*No)."""
+def _stacked_now() -> bool:
+    """Stacked +-1-group one-hot gathers (2 big dots) vs per-offset dots
+    (2*G small ones) — env toggle; per-offset measured FASTER on-chip
+    (6.081 vs 5.98 ev/s at bench scale, r4 A/B), so it is the default."""
+    import os
+    return os.environ.get("URESNET_STACKED_GATHER", "0") == "1"
+
+
+def _out_groups(t: int, dim: int):
+    """Static (ext_lane_cell_offset_of_group_row0, out_lane_cell_offset)
+    per output row-group; lane offsets in CELL units (x C / Cout later).
+
+    dim=3: groups are (o0, o1); slice d0 starts at ext cell
+    ((o0+d0)*(t+2) + o1) * (t+2) and spans 3*(t+2) cells; output group
+    starts at out cell (o0*t + o1) * t, spanning t cells.
+    dim=2: groups are o0; slice d0 starts at (o0+d0)*(t+2), spans (t+2)."""
     e = t + 2
-    rstride = e ** (dim - 1) * C
-    Kl = 3 * rstride
-    No = t ** (dim - 1) * Cout
-    return rstride, Kl, No
+    groups = []
+    if dim == 3:
+        for o0 in range(t):
+            for o1 in range(t):
+                ext0 = [((o0 + d0) * e + o1) * e for d0 in range(3)]
+                groups.append((tuple(ext0), (o0 * t + o1) * t))
+        span = 3 * e
+    else:
+        for o0 in range(t):
+            ext0 = [(o0 + d0) * e for d0 in range(3)]
+            groups.append((tuple(ext0), o0 * t))
+        span = e
+    return groups, span
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +337,7 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
     cur = win_dmas(n, slot)
     pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     posG = jax.lax.broadcasted_iota(jnp.int32, (G * Bk, win), 1)
+    stacked = _stacked_now()
 
     def write_group(res, ks, k0):
         for k in ks:
@@ -324,31 +347,43 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
                 ext_scr[:, e0 * C:(e0 + ln) * C] = \
                     res[r0:r0 + Bk, sp * C:(sp + ln) * C]
 
+    def per_offset(ks):
+        for k in ks:
+            o, w, plan = col_range(k)
+            local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 = no pair
+            oh = (local == pos).astype(dt)
+            res = jnp.dot(oh, win_scr[slot, pl.ds(0, win), o:o + w],
+                          preferred_element_type=jnp.float32).astype(dt)
+            for (sp, ln, e0) in plan:
+                ext_scr[:, e0 * C:(e0 + ln) * C] = \
+                    res[:, sp * C:(sp + ln) * C]
+
     # d0=-1 group: ONE stacked one-hot dot over the shared hi plane
+    # (same FLOPs as per-offset — every member dot reads the full plane —
+    # but 1 op issue instead of G; toggled for on-chip A/B measurement)
     cur[0].wait()
-    oh_hi = (lhi_ref[0, 0] == posG).astype(dt)          # (G*Bk, win)
-    res_hi = jnp.dot(oh_hi, win_scr[slot, pl.ds(0, win), 0:seg0_l],
-                     preferred_element_type=jnp.float32).astype(dt)
-    write_group(res_hi, range(G), 0)
+    if stacked:
+        oh_hi = (lhi_ref[0, 0] == posG).astype(dt)          # (G*Bk, win)
+        res_hi = jnp.dot(oh_hi, win_scr[slot, pl.ds(0, win), 0:seg0_l],
+                         preferred_element_type=jnp.float32).astype(dt)
+        write_group(res_hi, range(G), 0)
+    else:
+        per_offset(range(G))
 
     # d0=0 offsets: per-offset dots against the slim pack
     cur[1].wait()
-    for k in range(G, K - G):
-        o, w, plan = col_range(k)
-        local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
-        oh = (local == pos).astype(dt)
-        res = jnp.dot(oh, win_scr[slot, pl.ds(0, win), o:o + w],
-                      preferred_element_type=jnp.float32).astype(dt)
-        for (sp, ln, e0) in plan:
-            ext_scr[:, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
+    per_offset(range(G, K - G))
 
     # d0=+1 group: ONE stacked dot over the shared lo plane
     cur[2].wait()
-    oh_lo = (llo_ref[0, 0] == posG).astype(dt)
-    res_lo = jnp.dot(oh_lo, win_scr[slot, pl.ds(0, win),
-                                    seg2_b:seg2_b + seg0_l],
-                     preferred_element_type=jnp.float32).astype(dt)
-    write_group(res_lo, range(K - G, K), K - G)
+    if stacked:
+        oh_lo = (llo_ref[0, 0] == posG).astype(dt)
+        res_lo = jnp.dot(oh_lo, win_scr[slot, pl.ds(0, win),
+                                        seg2_b:seg2_b + seg0_l],
+                         preferred_element_type=jnp.float32).astype(dt)
+        write_group(res_lo, range(K - G, K), K - G)
+    else:
+        per_offset(range(K - G, K))
 
     if P:
         @pl.when(hasp_ref[b, n] != 0)
@@ -390,15 +425,22 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
 
 
 def _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref):
-    """Stage 2: t row-group Toeplitz dots from ext_scr -> out_ref (flat).
-    Group o0's three ext x-rows are CONTIGUOUS lanes, so the whole x-row of
-    outputs is ONE (Bk, 3*e^(dim-1)*C) x (., t^(dim-1)*Cout) MXU dot."""
+    """Stage 2: per-(o0[, o1])-group banded Toeplitz dots from ext_scr ->
+    out_ref (flat): 3 dots per group (one per d0 block), writes a
+    contiguous t*Cout lane range. The measured-good structure — see
+    `toeplitz_weights`."""
     dt = out_ref.dtype
-    rstride, Kl, No = _row_group_geom(t, dim, C, Cout)
-    for o0 in range(t):
-        s = ext_scr[:, o0 * rstride:o0 * rstride + Kl]
-        acc = jnp.dot(s, wt_ref[...], preferred_element_type=jnp.float32)
-        out_ref[0, :, o0 * No:(o0 + 1) * No] = acc.astype(dt)
+    groups, span = _out_groups(t, dim)
+    Kl = span * C
+    No = t * Cout
+    for (ext0s, oc) in groups:
+        acc = None
+        for dd in range(3):
+            s = ext_scr[:, ext0s[dd] * C:ext0s[dd] * C + Kl]
+            prod = jnp.dot(s, wt_ref[dd],
+                           preferred_element_type=jnp.float32)
+            acc = prod if acc is None else acc + prod
+        out_ref[0, :, oc * Cout:oc * Cout + No] = acc.astype(dt)
 
 
 def _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
@@ -409,13 +451,19 @@ def _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
     elementwise HBM pass the model otherwise pays per conv->BN pair. The
     per-cell mask expands to out lanes with ONE one-hot dot (emat_ref)."""
     dt = out_ref.dtype
-    rstride, Kl, No = _row_group_geom(t, dim, C, Cout)
+    groups, span = _out_groups(t, dim)
+    Kl = span * C
+    No = t * Cout
     m_exp = jnp.dot(mask_ref[0], emat_ref[...],
                     preferred_element_type=jnp.float32)   # (Bk, olanes_p)
-    for o0 in range(t):
-        s = ext_scr[:, o0 * rstride:o0 * rstride + Kl]
-        acc = jnp.dot(s, wt_ref[...], preferred_element_type=jnp.float32)
-        sl0 = o0 * No
+    for (ext0s, oc) in groups:
+        acc = None
+        for dd in range(3):
+            s = ext_scr[:, ext0s[dd] * C:ext0s[dd] * C + Kl]
+            prod = jnp.dot(s, wt_ref[dd],
+                           preferred_element_type=jnp.float32)
+            acc = prod if acc is None else acc + prod
+        sl0 = oc * Cout
         z = acc * ab_ref[0, sl0:sl0 + No] + ab_ref[1, sl0:sl0 + No]
         z = jnp.maximum(z, alpha * z)
         z = z * m_exp[:, sl0:sl0 + No]
@@ -423,27 +471,29 @@ def _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
 
 
 def _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref):
-    """Weight-gradient stage: out_ref += sum over row-groups of
-    ext_rows(o0)^T @ g_group(o0), the exact adjoint of `_conv_stage` w.r.t.
-    the row-group banded weight block (shared across o0 — all groups
-    accumulate into ONE block; f32, revisited across the whole grid,
-    flushed to HBM once at the end)."""
-    rstride, Kl, No = _row_group_geom(t, dim, C, Cout)
+    """Weight-gradient stage: out_ref[dd] += sum over output row-groups of
+    ext_slice(dd)^T @ g_group, the exact adjoint of `_conv_stage` w.r.t.
+    the banded Toeplitz weights (f32 accumulation; out block revisited
+    across the whole grid, flushed to HBM once at the end)."""
+    groups, span = _out_groups(t, dim)
+    Kl = span * C
+    No = t * Cout
 
     @pl.when(jnp.logical_and(b == 0, n == 0))
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     gb = g_ref[0]                                      # (Bk, olanes_p)
-    acc = None
-    for o0 in range(t):
-        s = ext_scr[:, o0 * rstride:o0 * rstride + Kl]
-        ggrp = gb[:, o0 * No:(o0 + 1) * No]
-        prod = jax.lax.dot_general(
-            s, ggrp, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (Kl, No)
-        acc = prod if acc is None else acc + prod
-    out_ref[0:Kl, 0:No] += acc
+    for dd in range(3):
+        acc = None
+        for (ext0s, oc) in groups:
+            s = ext_scr[:, ext0s[dd] * C:ext0s[dd] * C + Kl]
+            ggrp = gb[:, oc * Cout:oc * Cout + No]
+            prod = jax.lax.dot_general(
+                s, ggrp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (Kl, No)
+            acc = prod if acc is None else acc + prod
+        out_ref[dd, 0:Kl, 0:No] += acc
 
 
 def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
@@ -596,7 +646,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
     ecells = (t + 2) ** dim
     win = spec.window.shape[-1]
     P = spec.corr_src.shape[1]
-    Cout = wt.shape[-1] // t ** (dim - 1)
+    Cout = wt.shape[-1] // t
     nb = spec.starts.shape[2]
     Bk = T // nb
     lanes = cells * C
@@ -640,7 +690,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
                 pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
                 pl.BlockSpec(memory_space=pl.ANY),   # xs0
                 pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-                pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0)),
+                pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Bk, olanes_p),
                                    lambda b, n, st, hp: (b, n, 0)),
@@ -674,7 +724,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
                          lambda b, n, st, hp: (b, n, 0, 0)),
             pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Bk, olanes_p),
                                lambda b, n, st, hp: (b, n, 0)),
@@ -778,7 +828,7 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
             pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
             pl.BlockSpec(memory_space=pl.ANY),   # xs0
             pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
             pl.BlockSpec((2, olanes_p), lambda b, n, st, hp: (0, 0)),
             pl.BlockSpec((1, Bk, mlanes_p),
                          lambda b, n, st, hp: (b, n, 0)),
@@ -813,7 +863,8 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
                  interpret: bool = False) -> jnp.ndarray:
     """Weight gradient of the fused halo conv WITHOUT materializing the
     halo-extended array in HBM: x (B, T, t^dim, Cin), g (B, T, t^dim, Cout)
-    -> row-group banded cotangent (3*(t+2)^(dim-1)*Cin, t^(dim-1)*Cout) f32.
+    -> banded cotangent blocks (3, span*Cin, t*Cout) f32 (span from
+    `_out_groups`).
 
     Same stage-1 ext build as the forward (window DMAs + one-hot gathers +
     patch corrections, in VMEM); the contraction accumulates into one
@@ -832,7 +883,9 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
     olanes_p = _round_up(olanes, 128)
     _, _, planes_p = _lane_layout(t, dim, C)
     elanes_p = _round_up(ecells * C, 128)
-    _, Kl, No = _row_group_geom(t, dim, C, Cout)
+    _, span = _out_groups(t, dim)
+    Kl = span * C
+    No = t * Cout
     Kl_p = _round_up(Kl, 8)
     No_p = _round_up(No, 128)
 
@@ -844,8 +897,8 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
     hasp = spec.hasp
     grouped = _grouped_now(dim)
     v2 = _v2_layout(t, dim, C) if grouped else None
-    out_spec = pl.BlockSpec((Kl_p, No_p), lambda b, n, st, hp: (0, 0))
-    out_shape = jax.ShapeDtypeStruct((Kl_p, No_p), jnp.float32)
+    out_spec = pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp: (0, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((3, Kl_p, No_p), jnp.float32)
 
     if v2 is not None:
         seg0_l, seg1_l, planes_v2 = v2
@@ -890,7 +943,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
             interpret=interpret,
         )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
           xs0, patch, gf)
-        return dwt[:Kl, :No]
+        return dwt[:, :Kl, :No]
 
     xs = _preslice(xf, C, t, dim, 1)
     xs = _with_patch_rows(xs, spec, win)
@@ -919,7 +972,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(spec.starts, hasp, lidx, xf, xs, gf)
-    return dwt[:Kl, :No]
+    return dwt[:, :Kl, :No]
 
 
 def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
@@ -947,7 +1000,9 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
     glanes_p = _round_up(glanes, 128)
     xlanes_p = _round_up(xlanes, 128)
     elanes_p = _round_up(ecells * Cg, 128)
-    _, Kl, No = _row_group_geom(t, dim, Cg, Cx)
+    _, span = _out_groups(t, dim)
+    Kl = span * Cg
+    No = t * Cx
     Kl_p = _round_up(Kl, 8)
     No_p = _round_up(No, 128)
 
@@ -975,14 +1030,14 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),   # gf (row windows)
             pl.BlockSpec(memory_space=pl.ANY),   # gs0
             pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
             pl.BlockSpec((1, Bk, xlanes_p),
                          lambda b, n, st, hp: (b, n, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, Bk, xlanes_p),
                          lambda b, n, st, hp: (b, n, 0)),
-            pl.BlockSpec((Kl_p, No_p), lambda b, n, st, hp: (0, 0)),
+            pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp: (0, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, win, planes_v2), g.dtype),
@@ -996,12 +1051,13 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
         functools.partial(_bwd_kernel_v2, t, dim, Cg, Cx, win, P, T, Bk),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((B, T, xlanes_p), g.dtype),
-                   jax.ShapeDtypeStruct((Kl_p, No_p), jnp.float32)),
+                   jax.ShapeDtypeStruct((3, Kl_p, No_p), jnp.float32)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, gf, gf, gs0,
       patch, wt.astype(g.dtype), xf)
-    return (d_x[:, :, :xlanes].reshape(B, T, cells, Cx), dwt[:Kl, :No])
+    return (d_x[:, :, :xlanes].reshape(B, T, cells, Cx),
+            dwt[:, :Kl, :No])
 
 
 def _bwd_impl(x, w, g, spec, t, dim, interpret=False):
@@ -1017,8 +1073,9 @@ def _bwd_impl(x, w, g, spec, t, dim, interpret=False):
     win = spec.window.shape[-1]
     # per-Cg VMEM: shared ext machinery + flipped weight block + the f32
     # dwt block rows (4 bytes) + the extra x input block
+    span = 3 * (t + 2) if dim == 3 else (t + 2)
     per_c = (_per_c_bytes(t, dim, Cx, win, P, Bk, itemsize)
-             + 3 * (t + 2) ** (dim - 1) * t ** (dim - 1) * Cx * 4)
+             + 3 * span * t * Cx * 4)
     max_c = max(8, _SCRATCH_BUDGET // per_c)
     wf = flip_weights(w)                       # (3^dim, Cg, Cx)
     grouped = _grouped_now(dim)
@@ -1059,8 +1116,8 @@ def _bwd_impl(x, w, g, spec, t, dim, interpret=False):
 
 def toeplitz_adjoint(d_wt: jnp.ndarray, t: int, dim: int, Cin: int,
                      Cout: int) -> jnp.ndarray:
-    """Row-group banded cotangent (3*(t+2)^(dim-1)*Cin, t^(dim-1)*Cout)
-    -> d_w (3^dim, Cin, Cout): the linear transpose of `toeplitz_weights`
+    """Banded cotangent blocks (3, span*Cin, t*Cout) -> d_w
+    (3^dim, Cin, Cout): the linear transpose of `toeplitz_weights`
     (exact — the band build is linear in w)."""
     f = lambda w: toeplitz_weights(w, t, dim, jnp.float32)
     ex = jax.ShapeDtypeStruct((3 ** dim, Cin, Cout), jnp.float32)
@@ -1073,11 +1130,11 @@ def _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize):
     packl = -(-_lane_layout(t, dim, 32)[2] // 32)
     ecells = (t + 2) ** dim
     cells = t ** dim
-    wt_rows = 3 * (t + 2) ** (dim - 1)   # row-group band rows per Cin
+    span = 3 * (t + 2) if dim == 3 else (t + 2)  # band rows per Cin/block
     return ((2 * win + P) * packl        # window scratch (double-buffered)
             + Bk * ecells                # ext scratch
             + 2 * Bk * cells             # in blocks (double-buffered)
-            + wt_rows * t ** (dim - 1) * Cout  # row-group weight block
+            + 3 * span * t * Cout        # banded weight blocks
             ) * itemsize
 
 
