@@ -67,8 +67,12 @@ class BNAct(nn.Module):
                     b.astype(self.cfg.compute_dtype))
         x = bn(x, mask, train)
         s = self.cfg.leaky_relu_slope
-        x = nn.leaky_relu(x, negative_slope=s) if s > 0 else nn.relu(x)
-        return x.astype(self.cfg.compute_dtype)
+        act = ((lambda v: nn.leaky_relu(v, negative_slope=s)) if s > 0
+               else nn.relu)
+        dt = self.cfg.compute_dtype
+        if isinstance(x, tuple):   # unmaterialized channel-concat pair
+            return tuple(act(p).astype(dt) for p in x)
+        return act(x).astype(dt)
 
 
 class SparseResBlock(nn.Module):

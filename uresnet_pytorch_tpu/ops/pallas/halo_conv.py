@@ -220,13 +220,27 @@ def _v2_layout(t: int, dim: int, C: int):
 
 def _preslice0(flat, C, t, dim):
     """(B, T, cells*C...) -> (B, T, seg1_lanes): the d0=0 offsets' slab
-    runs, densely packed, zero-padded to the 128-aligned segment width."""
+    runs, densely packed, zero-padded to the 128-aligned segment width.
+
+    Two lowerings, URESNET_PRESLICE env-selectable for on-chip A/B:
+    'concat' (default) slices the ~56 runs and concatenates; 'take' is one
+    static cell-axis gather on a free reshape view."""
+    import os
     _, pk0, runs = _pack0_cells(t, dim)
-    segs = [flat[:, :, v * C:(v + ln) * C] for (v, ln, _) in runs]
     used = pk0 * C
     w = _round_up(used, 128)
+    B, T = flat.shape[:2]
+    if os.environ.get("URESNET_PRESLICE", "concat") == "take":
+        cells = t ** dim
+        idx = np.concatenate(
+            [np.arange(v, v + ln) for (v, ln, _) in runs])
+        x4 = flat[:, :, :cells * C].reshape(B, T, cells, C)
+        out = jnp.take(x4, jnp.asarray(idx), axis=2).reshape(B, T, used)
+        if w > used:
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, w - used)))
+        return out
+    segs = [flat[:, :, v * C:(v + ln) * C] for (v, ln, _) in runs]
     if w > used:
-        B, T = flat.shape[:2]
         segs.append(jnp.zeros((B, T, w - used), flat.dtype))
     return jnp.concatenate(segs, axis=-1)
 

