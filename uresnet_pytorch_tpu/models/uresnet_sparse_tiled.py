@@ -238,8 +238,12 @@ class UResNetSparseTiled(nn.Module):
                                   policy=pol)
             _head_stage = nn.remat(_head_stage, policy=pol)
 
+        # eval: fuse the stem's occupancy re-mask into its kernel epilogue
+        # (identity affine) — the separate out*occ multiply measured ~15
+        # ms/step of pred-broadcast + layout-copy glue at bench scale
         x = SMConvTile(cfg, planes[0], name="stem")(
-            graph.feats0.astype(dt), levels[0], tsz[0])
+            graph.feats0.astype(dt), levels[0], tsz[0],
+            **({} if train else {"mask_act": masks[0]}))
         skips = []
         for l in range(nlev):
             nxt_occ = (levels[l + 1].occ if l < nlev - 1

@@ -347,8 +347,14 @@ def _with_patch_rows(flat, spec, win):
 # in/out blocks; pallas asks for a raised ceiling (the 16 MB default scoped
 # limit leaves no room). C is chunked to fit, with headroom for Mosaic's
 # one-hot/result temps.
-_SCRATCH_BUDGET = 20 * 1024 * 1024
-_VMEM_LIMIT = 64 * 1024 * 1024
+# Env-tunable (URESNET_SCRATCH_MB / URESNET_VMEM_MB) for on-chip A/B:
+# chip VMEM is 128 MB; a bigger scratch budget means fewer Cin chunks,
+# i.e. fewer ext rebuilds AND fewer x[..., o:o+cc] chunk-slice copies
+# (measured 58 ms/step of XLA glue at bench scale).
+import os as _os
+_SCRATCH_BUDGET = int(_os.environ.get("URESNET_SCRATCH_MB", "20")) \
+    * 1024 * 1024
+_VMEM_LIMIT = int(_os.environ.get("URESNET_VMEM_MB", "64")) * 1024 * 1024
 
 
 def _run_chunked(fn, x, C, per_c_bytes):

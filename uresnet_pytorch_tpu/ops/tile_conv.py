@@ -229,7 +229,17 @@ def submanifold_conv_tiled(x, occ, halo, t: int, dim: int, w) -> jnp.ndarray:
         use = (jax.default_backend() == "tpu"
                and x.dtype == jnp.bfloat16)
     if use:
-        from uresnet_pytorch_tpu.ops.pallas.halo_conv import fused_halo_conv
+        from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
+            _v2_layout, fused_halo_conv)
+        if Cin < 8 and _v2_layout(t, dim, 8) is not None:
+            # tiny-Cin convs (the stem: Cin=1) miss the v2 lane alignment
+            # (t^2*C % 128) and fall to the v1 kernel + its full preslice
+            # pack (~12 ms/step measured). Zero-pad input channels to 8:
+            # the pad rows multiply zero weight rows, and autodiff's pad
+            # transpose slices d_x/d_w back. 8x gather bytes on a tiny
+            # input is cheap next to the deleted XLA pass.
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 8 - Cin)))
+            w = jnp.pad(w, ((0, 0), (0, 8 - Cin), (0, 0)))
         out = fused_halo_conv(x, w.astype(dt), halo, t, dim)
         return out * occ[..., None].astype(dt)
     ext = halo26_extend(x, halo, t, dim)
@@ -268,8 +278,16 @@ def submanifold_conv_bn_act_tiled(x, occ, halo, t: int, dim: int, w,
                and x.dtype == jnp.bfloat16)
     if use:
         from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
-            fused_halo_conv_bn_act)
-        out = fused_halo_conv_bn_act(x, w.astype(x.dtype), a, b, mask,
+            _v2_layout, fused_halo_conv_bn_act)
+        xk, wk = x, w
+        if (x.ndim == 4 and w.shape[1] < 8
+                and _v2_layout(t, dim, 8) is not None):
+            # tiny-Cin pad to the v2 alignment floor (see
+            # submanifold_conv_tiled) — the stem's eval path
+            pad = 8 - w.shape[1]
+            xk = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            wk = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+        out = fused_halo_conv_bn_act(xk, wk.astype(x.dtype), a, b, mask,
                                      alpha, halo, t, dim, flat_out=flat_out)
         if out is not None:
             return out
