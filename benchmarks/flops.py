@@ -133,8 +133,11 @@ def event_flops(coords: np.ndarray, spatial: int, planes, reps: int,
 
 def tile_actual_flops(cfg) -> int:
     """Conv-dot MACs*2 the tile engine issues per event (capacity tiles,
-    row-group Toeplitz band: t dots of (3*(t+2)^(d-1)*Cin x t^(d-1)*Cout)
-    per tile). Down/up/nin/head are dense GEMMs at capacity rows."""
+    per-(o0[,o1])-group banded Toeplitz dots: t^(d-1) groups x 3 blocks of
+    (span*Cin x t*Cout) per tile, span = 3*(t+2) for d=3 / (t+2) for d=2 —
+    a ~2x band overcompute vs dense-3^d). Down/up/nin/head are dense GEMMs
+    at capacity rows. One-hot gather/pack dots are EXCLUDED (their depth
+    is the data-dependent window height, not a conv property)."""
     from uresnet_pytorch_tpu.ops.tile_graph import (tile_capacity_at,
                                                     tile_size_at)
     dim = cfg.data_dim
@@ -147,8 +150,8 @@ def tile_actual_flops(cfg) -> int:
         t = tile_size_at(cfg, min(l, cfg.uresnet_num_strides - 1))
         cells = t ** dim
         if kind == "sm":
-            total += 2 * T * t * (3 * (t + 2) ** (dim - 1) * cin) \
-                * (t ** (dim - 1) * cout)
+            span = 3 * (t + 2) if dim == 3 else (t + 2)
+            total += 2 * T * t ** (dim - 1) * 3 * span * cin * t * cout
         else:
             total += 2 * T * cells * cin * cout
     return int(total)
