@@ -66,6 +66,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from uresnet_pytorch_tpu.config import URESNetConfig
+    from uresnet_pytorch_tpu.trainval import _enable_compilation_cache
+    _enable_compilation_cache()   # 512^3 programs compile for minutes;
+    #                               persist them across bench invocations
     from uresnet_pytorch_tpu.models import construct
     from uresnet_pytorch_tpu.iotools.synthetic import generate_event
 

@@ -59,18 +59,27 @@ def main():
     main_funcs.train(cfg, io=io_tr)
     t_train = time.time() - t0
 
-    # held-out evaluation: different generator seed => disjoint events
+    # held-out evaluation: different generator seed => disjoint events.
+    # Sweep EVERY checkpoint (reference multi-ckpt glob sweep, SURVEY.md
+    # §3.2) and report the best-mIoU one (VERDICT r3 #4: eval at the best
+    # checkpoint, not just the last).
     eval_cfg = cfg.replace(
         seed=12, iteration=args.eval_iters,
-        model_path=os.path.join(args.out, f"snap-{args.iters}.ckpt"))
+        model_path=os.path.join(args.out, "snap-*.ckpt"))
     io_ev = IOSynthetic(eval_cfg, n_events=args.eval_iters * args.batch,
                         mean_voxels=args.voxels)
-    res = main_funcs.inference(eval_cfg, io=io_ev)
+    main_funcs.inference(eval_cfg, io=io_ev)
+
+    import csv as csv_mod
+    with open(os.path.join(args.out, "inference_log.csv")) as f:
+        rows = list(csv_mod.DictReader(f))
+    res = max(rows, key=lambda r: float(r["miou"]))
 
     summary = {
         "metric": "converged_heldout_voxel_accuracy",
         "iters": args.iters,
         "train_wall_sec": round(t_train, 1),
+        "best_ckpt": res["ckpt"],
         "final_loss": round(float(res["loss"]), 4),
         "accuracy": round(float(res["accuracy"]), 4),
         "miou": round(float(res["miou"]), 4),

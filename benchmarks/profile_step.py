@@ -33,6 +33,8 @@ def main():
     from uresnet_pytorch_tpu.config import URESNetConfig
     from uresnet_pytorch_tpu.models import construct
     from uresnet_pytorch_tpu.iotools.synthetic import generate_event
+    from uresnet_pytorch_tpu.trainval import _enable_compilation_cache
+    _enable_compilation_cache()
 
     cfg = URESNetConfig(
         model_name="uresnet_sparse", num_class=5, uresnet_filters=16,

@@ -48,7 +48,9 @@ def _forward_model(cfg, blob):
     import jax
     import jax.numpy as jnp
     from uresnet_pytorch_tpu.models import construct
+    from uresnet_pytorch_tpu.trainval import _enable_compilation_cache
     from uresnet_pytorch_tpu.utils.benchmark import timed_step
+    _enable_compilation_cache()
     model = construct(cfg.model_name)(cfg)
     args = (blob["coords"], blob["values"], blob["n_voxels"])
     variables = jax.jit(model.init, static_argnames=("train",))(

@@ -68,6 +68,16 @@ HALO_CORR_CAP = int(os.environ.get("URESNET_HALO_CORR_CAP", 256))
 # under cap: max 149/256 used, zero overflow, benchmarks/run_all.py).
 HALO_GROUP = int(os.environ.get("URESNET_HALO_GROUP", 1))
 HALO_GROUP_WIN_MULT = int(os.environ.get("URESNET_HALO_GROUP_WIN_MULT", 3))
+# Per-offset sub-window rebasing inside the (taller) group window: each
+# offset's neighbor map is monotone, so its block sources span ~Bk rows —
+# the group window's extra height only absorbs the BETWEEN-offset start
+# spread. The conv kernels' one-hot dots therefore contract over a
+# per-offset (HALO_WIN_MULT * block)-row slice of the group window,
+# anchored at spec.rebase, instead of the full group window — gather MACs
+# scale with the contraction depth (win=384 at bench scale made gathers
+# ~45% of kernel MACs). Pairs outside the sub-window ride the correction
+# list as usual, so this stays exact. 0 disables (sub-window = window).
+HALO_REBASE = int(os.environ.get("URESNET_HALO_REBASE", 1))
 
 
 @lru_cache(maxsize=None)
@@ -165,6 +175,13 @@ class Halo26Spec(NamedTuple):
     #                        stacked layout is precomputed here once per
     #                        level instead of relayouted per grid step
     lidx_lo: jnp.ndarray   # (nb, G*Bk, 1) int32 — same for the d0=+1 group
+    rebase: jnp.ndarray    # (K, nb) int32 per-offset sub-window row offset
+    #                        within the group window (8-aligned; 0 when
+    #                        rebasing is off/ungrouped). lidx stays
+    #                        group-window-relative; in-band pairs satisfy
+    #                        rebase <= lidx < rebase + subwin.
+    subwin: jnp.ndarray    # (win_off,) int8 zeros — static sub-window-size
+    #                        carrier (= window when rebasing is off)
 
 
 def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
@@ -211,6 +228,8 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     # (each offset map is monotone, so its block sources are contiguous-ish)
     cand = jnp.where(ok, idx, T + win).reshape(K, nb, Bk)
     starts = jnp.min(cand, axis=2)                      # (K, nb)
+    per_off = jnp.clip(starts, 0, max(T - win, 0))
+    per_off = ((per_off // 8) * 8).astype(jnp.int32)   # per-offset anchors
     if grouped:
         # one shared start per d0 group: all member offsets get the group
         # min, so the kernel can DMA the group's contiguous lanes at once
@@ -226,8 +245,24 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     starts = jnp.clip(starts, 0, max(T - win, 0))
     starts = ((starts // 8) * 8).astype(jnp.int32)     # sublane-aligned DMA
 
+    # per-offset sub-window rebasing (see HALO_REBASE): the conv kernels'
+    # one-hot dots contract over win_off rows at starts + rebase instead
+    # of the whole group window; out-of-sub-window pairs become corrections.
+    # Only when the window is small relative to the level (T >= 2*win):
+    # at small/deep levels the sorted-rank neighbor spread approaches T
+    # itself, and narrowing there measured 232 correction-cap overflows at
+    # bench scale (all at L4, T=512/win=384) for negligible MAC savings.
+    if grouped and HALO_REBASE and T >= 2 * win:
+        win_off = min(min(HALO_WIN_MULT, win_mult) * Bk, win)
+        rebase = jnp.clip(per_off - starts, 0, win - win_off)
+        rebase = ((rebase // 8) * 8).astype(jnp.int32)
+    else:
+        win_off = win
+        rebase = jnp.zeros((K, nb), jnp.int32)
+
     local = idx - jnp.repeat(starts, Bk, axis=1)
-    inband = ok & (local >= 0) & (local < win)
+    rb_rep = jnp.repeat(rebase, Bk, axis=1)
+    inband = ok & (local >= rb_rep) & (local < rb_rep + win_off)
     bad = (ok & ~inband).reshape(-1)                    # (K*T,)
     # scatter-free compaction (see compact_marked): positions of the first
     # corr_cap out-of-window pairs in (K, T)-flat order
@@ -260,7 +295,8 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     lidx_lo = lidx[:, K - G:].reshape(nb, G * Bk, 1)
     return Halo26Spec(idx, ok, starts, inband, corr_src, corr_dst, corr_off,
                       corr_ok, overflow, jnp.zeros((win,), jnp.int8),
-                      lidx, hasp, lidx_hi, lidx_lo)
+                      lidx, hasp, lidx_hi, lidx_lo, rebase,
+                      jnp.zeros((win_off,), jnp.int8))
 
 
 # ---------------------------------------------------------------------------

@@ -262,9 +262,10 @@ def _patch_rows_v2(xf, spec, t, dim, C):
     return jnp.concatenate([seg0, seg1, seg2], axis=-1)
 
 
-def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
-                  win_scr, patch_scr, ext_scr, sems, psem):
+def _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
+                  reb_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref, xf_ref,
+                  xs0_ref, patch_ref, win_scr, patch_scr, ext_scr, sems,
+                  psem):
     """Stage 1 of the v2 kernels: fill ext_scr (Bk, ecells*C) with the
     halo-extended block — three group window DMAs + one-hot MXU gathers +
     gated patch-row corrections. Shared by the forward conv kernel and the
@@ -349,8 +350,8 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
         return seg0_l + pack_off[k] * C, slab_len[k] * C, ext_plan[k]
 
     cur = win_dmas(n, slot)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
     posG = jax.lax.broadcasted_iota(jnp.int32, (G * Bk, win), 1)
+    pos_o = jax.lax.broadcasted_iota(jnp.int32, (Bk, wo), 1)
     stacked = _stacked_now()
 
     def write_group(res, ks, k0):
@@ -362,11 +363,16 @@ def _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
                     res[r0:r0 + Bk, sp * C:(sp + ln) * C]
 
     def per_offset(ks):
+        # narrow rebased dots: each offset's in-band locals lie in
+        # [rebase, rebase + wo) of the group window (spec.rebase), so the
+        # one-hot contraction runs over wo rows, not the full win — gather
+        # MACs scale with contraction depth (win was 3*Bk at bench scale)
         for k in ks:
             o, w, plan = col_range(k)
+            rb = pl.multiple_of(reb_ref[b, k, n], 8)
             local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 = no pair
-            oh = (local == pos).astype(dt)
-            res = jnp.dot(oh, win_scr[slot, pl.ds(0, win), o:o + w],
+            oh = (local == pos_o + rb).astype(dt)
+            res = jnp.dot(oh, win_scr[slot, pl.ds(rb, wo), o:o + w],
                           preferred_element_type=jnp.float32).astype(dt)
             for (sp, ln, e0) in plan:
                 ext_scr[:, e0 * C:(e0 + ln) * C] = \
@@ -510,49 +516,52 @@ def _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref):
         out_ref[dd, 0:Kl, 0:No] += acc
 
 
-def _fused_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
-                     starts_ref, hasp_ref, lidx_ref, lhi_ref, llo_ref,
-                     xblk_ref, xf_ref, xs0_ref, patch_ref, wt_ref, out_ref,
-                     win_scr, patch_scr, ext_scr, sems, psem):
+def _fused_kernel_v2(t, dim, C, Cout, win, wo, P, Tsrc, Bk,
+                     starts_ref, hasp_ref, reb_ref, lidx_ref, lhi_ref,
+                     llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref, wt_ref,
+                     out_ref, win_scr, patch_scr, ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
-                  win_scr, patch_scr, ext_scr, sems, psem)
+    _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
+                  reb_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref, xf_ref,
+                  xs0_ref, patch_ref, win_scr, patch_scr, ext_scr, sems,
+                  psem)
     _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
 
 
-def _fused_kernel_v2_bn(t, dim, C, Cout, win, P, Tsrc, Bk, alpha,
-                        starts_ref, hasp_ref, lidx_ref, lhi_ref, llo_ref,
-                        xblk_ref, xf_ref, xs0_ref, patch_ref, wt_ref,
-                        ab_ref, mask_ref, emat_ref, out_ref, win_scr,
-                        patch_scr, ext_scr, sems, psem):
+def _fused_kernel_v2_bn(t, dim, C, Cout, win, wo, P, Tsrc, Bk, alpha,
+                        starts_ref, hasp_ref, reb_ref, lidx_ref, lhi_ref,
+                        llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
+                        wt_ref, ab_ref, mask_ref, emat_ref, out_ref,
+                        win_scr, patch_scr, ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
-                  win_scr, patch_scr, ext_scr, sems, psem)
+    _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
+                  reb_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref, xf_ref,
+                  xs0_ref, patch_ref, win_scr, patch_scr, ext_scr, sems,
+                  psem)
     _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
                    mask_ref, emat_ref, out_ref)
 
 
-def _dw_kernel_v2(t, dim, C, Cout, win, P, Tsrc, Bk,
-                  starts_ref, hasp_ref, lidx_ref, lhi_ref, llo_ref,
-                  xblk_ref, xf_ref, xs0_ref, patch_ref, g_ref, out_ref,
-                  win_scr, patch_scr, ext_scr, sems, psem):
+def _dw_kernel_v2(t, dim, C, Cout, win, wo, P, Tsrc, Bk,
+                  starts_ref, hasp_ref, reb_ref, lidx_ref, lhi_ref,
+                  llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref, g_ref,
+                  out_ref, win_scr, patch_scr, ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v2(t, dim, C, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
-                  win_scr, patch_scr, ext_scr, sems, psem)
+    _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
+                  reb_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref, xf_ref,
+                  xs0_ref, patch_ref, win_scr, patch_scr, ext_scr, sems,
+                  psem)
     _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref)
 
 
-def _bwd_kernel_v2(t, dim, Cg, Cx, win, P, Tsrc, Bk,
-                   starts_ref, hasp_ref, lidx_ref, lhi_ref, llo_ref,
-                   gblk_ref, gf_ref, gs0_ref, patchg_ref, wt_ref, x_ref,
-                   dx_ref, dwt_ref, win_scr, patch_scr, ext_scr, sems,
-                   psem):
+def _bwd_kernel_v2(t, dim, Cg, Cx, win, wo, P, Tsrc, Bk,
+                   starts_ref, hasp_ref, reb_ref, lidx_ref, lhi_ref,
+                   llo_ref, gblk_ref, gf_ref, gs0_ref, patchg_ref, wt_ref,
+                   x_ref, dx_ref, dwt_ref, win_scr, patch_scr, ext_scr,
+                   sems, psem):
     """COMBINED backward: ONE ext(g) build feeds both the d_x conv (flipped
     stencil, `_conv_stage`) and the weight-gradient contraction
     (`_dw_stage` with x as the cotangent) — the separate-kernel backward
@@ -562,16 +571,17 @@ def _bwd_kernel_v2(t, dim, Cg, Cx, win, P, Tsrc, Bk,
     self-adjoint permutation-transpose)."""
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v2(t, dim, Cg, win, P, b, n, starts_ref, hasp_ref, lidx_ref,
-                  lhi_ref, llo_ref, gblk_ref, gf_ref, gs0_ref, patchg_ref,
-                  win_scr, patch_scr, ext_scr, sems, psem)
+    _build_ext_v2(t, dim, Cg, win, wo, P, b, n, starts_ref, hasp_ref,
+                  reb_ref, lidx_ref, lhi_ref, llo_ref, gblk_ref, gf_ref,
+                  gs0_ref, patchg_ref, win_scr, patch_scr, ext_scr, sems,
+                  psem)
     _conv_stage(t, dim, Cg, Cx, ext_scr, wt_ref, dx_ref)
     _dw_stage(t, dim, Cg, Cx, b, n, ext_scr, x_ref, dwt_ref)
 
 
-def _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
-                  hasp_ref, lidx_ref, xblk_ref, xs_ref, win_scr, ext_scr,
-                  sems):
+def _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n, starts_ref,
+                  hasp_ref, reb_ref, lidx_ref, xblk_ref, xs_ref, win_scr,
+                  ext_scr, sems):
     """Stage 1 of the v1 kernels (packed preslice layout) — see
     `_build_ext_v2`."""
     (_, _, _, _, ext_plan, _, body_plan, _) = _plans(t, dim)
@@ -599,14 +609,15 @@ def _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
     for (c0, ln, e0) in body_plan:
         ext_scr[:, e0 * C:(e0 + ln) * C] = xb[:, c0 * C:(c0 + ln) * C]
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, win), 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Bk, wo), 1)
     for k in range(K):
         if k in dmas:   # group head (grouped) or every k (ungrouped)
             dmas[k].wait()
+        rb = pl.multiple_of(reb_ref[b, k, n], 8)
         local = lidx_ref[0, 0, k, :].reshape(Bk, 1)    # -1 where no pair
-        oh = (local == pos).astype(dt)
+        oh = (local == pos + rb).astype(dt)
         o, w = lane_off[k], lane_w[k]
-        res = jnp.dot(oh, win_scr[pl.ds(0, win), o:o + w],
+        res = jnp.dot(oh, win_scr[pl.ds(rb, wo), o:o + w],
                       preferred_element_type=jnp.float32).astype(dt)
         for (sp, ln, e0) in ext_plan[k]:
             ext_scr[:, e0 * C:(e0 + ln) * C] = res[:, sp * C:(sp + ln) * C]
@@ -627,25 +638,25 @@ def _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
                         + resp[:, sp * C:(sp + ln) * C])
 
 
-def _fused_kernel(grouped, t, dim, C, Cout, win, P, Tsrc, Bk,
-                  starts_ref, hasp_ref, lidx_ref, xblk_ref, xs_ref, wt_ref,
-                  out_ref, win_scr, ext_scr, sems):
+def _fused_kernel(grouped, t, dim, C, Cout, win, wo, P, Tsrc, Bk,
+                  starts_ref, hasp_ref, reb_ref, lidx_ref, xblk_ref,
+                  xs_ref, wt_ref, out_ref, win_scr, ext_scr, sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
-                  hasp_ref, lidx_ref, xblk_ref, xs_ref, win_scr, ext_scr,
-                  sems)
+    _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n, starts_ref,
+                  hasp_ref, reb_ref, lidx_ref, xblk_ref, xs_ref, win_scr,
+                  ext_scr, sems)
     _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
 
 
-def _dw_kernel_v1(grouped, t, dim, C, Cout, win, P, Tsrc, Bk,
-                  starts_ref, hasp_ref, lidx_ref, xblk_ref, xs_ref, g_ref,
-                  out_ref, win_scr, ext_scr, sems):
+def _dw_kernel_v1(grouped, t, dim, C, Cout, win, wo, P, Tsrc, Bk,
+                  starts_ref, hasp_ref, reb_ref, lidx_ref, xblk_ref,
+                  xs_ref, g_ref, out_ref, win_scr, ext_scr, sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v1(grouped, t, dim, C, win, P, Tsrc, b, n, starts_ref,
-                  hasp_ref, lidx_ref, xblk_ref, xs_ref, win_scr, ext_scr,
-                  sems)
+    _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n, starts_ref,
+                  hasp_ref, reb_ref, lidx_ref, xblk_ref, xs_ref, win_scr,
+                  ext_scr, sems)
     _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref)
 
 
@@ -659,6 +670,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
     B, T, cells, C = x.shape
     ecells = (t + 2) ** dim
     win = spec.window.shape[-1]
+    wo = spec.subwin.shape[-1]
     P = spec.corr_src.shape[1]
     Cout = wt.shape[-1] // t
     nb = spec.starts.shape[2]
@@ -690,24 +702,24 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
         xs0 = _preslice0(xf, C, t, dim)
         Gk = spec.lidx_hi.shape[2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                             lambda b, n, st, hp: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
                 pl.BlockSpec((1, 1, Gk, 1),
-                             lambda b, n, st, hp: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
                 pl.BlockSpec((1, 1, Gk, 1),
-                             lambda b, n, st, hp: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p),
-                             lambda b, n, st, hp: (b, n, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
                 pl.BlockSpec(memory_space=pl.ANY),   # xs0
                 pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-                pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
+                pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Bk, olanes_p),
-                                   lambda b, n, st, hp: (b, n, 0)),
+                                   lambda b, n, st, hp, rb: (b, n, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, win, planes_v2), x.dtype),
                 pltpu.VMEM((max(P, 1), planes_v2), x.dtype),
@@ -717,31 +729,31 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_fused_kernel_v2, t, dim, C, Cout, win, P,
-                              T, Bk),
+            functools.partial(_fused_kernel_v2, t, dim, C, Cout, win, wo,
+                              P, T, Bk),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
+        )(spec.starts, hasp, spec.rebase, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
           xs0, patch, wt.astype(x.dtype))
         return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
     xs = _preslice(xf, C, t, dim, 1)
     xs = _with_patch_rows(xs, spec, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                         lambda b, n, st, hp: (b, n, 0, 0)),
-            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp: (b, n, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
+            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp, rb: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Bk, olanes_p),
-                               lambda b, n, st, hp: (b, n, 0)),
+                               lambda b, n, st, hp, rb: (b, n, 0)),
         scratch_shapes=[
             pltpu.VMEM((win + P, planes_p), x.dtype),
             pltpu.VMEM((Bk, elanes_p), x.dtype),
@@ -750,12 +762,12 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
     )
     out = pl.pallas_call(
         functools.partial(_fused_kernel, grouped, t, dim, C,
-                          Cout, win, P, T, Bk),
+                          Cout, win, wo, P, T, Bk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(spec.starts, hasp, lidx, xf, xs, wt.astype(x.dtype))
+    )(spec.starts, hasp, spec.rebase, lidx, xf, xs, wt.astype(x.dtype))
     return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
 
@@ -791,6 +803,7 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
     Cout = w.shape[-1]
     ecells = (t + 2) ** dim
     win = spec.window.shape[-1]
+    wo = spec.subwin.shape[-1]
     P = spec.corr_src.shape[1]
     nb = spec.starts.shape[2]
     Bk = T // nb
@@ -828,29 +841,29 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
                        dtype=x.dtype)
     Gk = spec.lidx_hi.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                         lambda b, n, st, hp: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Gk, 1),
-                         lambda b, n, st, hp: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Gk, 1),
-                         lambda b, n, st, hp: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
             pl.BlockSpec((1, Bk, lanes_p),
-                         lambda b, n, st, hp: (b, n, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
             pl.BlockSpec(memory_space=pl.ANY),   # xs0
             pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
-            pl.BlockSpec((2, olanes_p), lambda b, n, st, hp: (0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb: (0, 0, 0)),
+            pl.BlockSpec((2, olanes_p), lambda b, n, st, hp, rb: (0, 0)),
             pl.BlockSpec((1, Bk, mlanes_p),
-                         lambda b, n, st, hp: (b, n, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0)),
             pl.BlockSpec((mlanes_p, olanes_p),
-                         lambda b, n, st, hp: (0, 0)),
+                         lambda b, n, st, hp, rb: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Bk, olanes_p),
-                               lambda b, n, st, hp: (b, n, 0)),
+                               lambda b, n, st, hp, rb: (b, n, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, win, planes_v2), x.dtype),
             pltpu.VMEM((max(P, 1), planes_v2), x.dtype),
@@ -860,13 +873,13 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fused_kernel_v2_bn, t, dim, C, Cout, win, P,
-                          T, Bk, float(alpha)),
+        functools.partial(_fused_kernel_v2_bn, t, dim, C, Cout, win, wo,
+                          P, T, Bk, float(alpha)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf, xs0,
+    )(spec.starts, hasp, spec.rebase, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf, xs0,
       patch, wt.astype(x.dtype), ab, mk, emat)
     if flat_out:
         return out
@@ -888,6 +901,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
     Cout = g.shape[-1]
     ecells = (t + 2) ** dim
     win = spec.window.shape[-1]
+    wo = spec.subwin.shape[-1]
     P = spec.corr_src.shape[1]
     nb = spec.starts.shape[2]
     Bk = T // nb
@@ -911,7 +925,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
     hasp = spec.hasp
     grouped = _grouped_now(dim)
     v2 = _v2_layout(t, dim, C) if grouped else None
-    out_spec = pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp: (0, 0, 0))
+    out_spec = pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp, rb: (0, 0, 0))
     out_shape = jax.ShapeDtypeStruct((3, Kl_p, No_p), jnp.float32)
 
     if v2 is not None:
@@ -921,22 +935,22 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
         xs0 = _preslice0(xf, C, t, dim)
         Gk = spec.lidx_hi.shape[2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                             lambda b, n, st, hp: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
                 pl.BlockSpec((1, 1, Gk, 1),
-                             lambda b, n, st, hp: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
                 pl.BlockSpec((1, 1, Gk, 1),
-                             lambda b, n, st, hp: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p),
-                             lambda b, n, st, hp: (b, n, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
                 pl.BlockSpec(memory_space=pl.ANY),   # xs0
                 pl.BlockSpec(memory_space=pl.ANY),   # patch rows
                 pl.BlockSpec((1, Bk, olanes_p),
-                             lambda b, n, st, hp: (b, n, 0)),
+                             lambda b, n, st, hp, rb: (b, n, 0)),
             ],
             out_specs=out_spec,
             scratch_shapes=[
@@ -948,28 +962,28 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
             ],
         )
         dwt = pl.pallas_call(
-            functools.partial(_dw_kernel_v2, t, dim, C, Cout, win, P,
-                              T, Bk),
+            functools.partial(_dw_kernel_v2, t, dim, C, Cout, win, wo,
+                              P, T, Bk),
             grid_spec=grid_spec,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
+        )(spec.starts, hasp, spec.rebase, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
           xs0, patch, gf)
         return dwt[:, :Kl, :No]
 
     xs = _preslice(xf, C, t, dim, 1)
     xs = _with_patch_rows(xs, spec, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                         lambda b, n, st, hp: (b, n, 0, 0)),
-            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp: (b, n, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
+            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp, rb: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, Bk, olanes_p), lambda b, n, st, hp: (b, n, 0)),
+            pl.BlockSpec((1, Bk, olanes_p), lambda b, n, st, hp, rb: (b, n, 0)),
         ],
         out_specs=out_spec,
         scratch_shapes=[
@@ -979,13 +993,13 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
         ],
     )
     dwt = pl.pallas_call(
-        functools.partial(_dw_kernel_v1, grouped, t, dim, C, Cout, win, P,
-                          T, Bk),
+        functools.partial(_dw_kernel_v1, grouped, t, dim, C, Cout, win,
+                          wo, P, T, Bk),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(spec.starts, hasp, lidx, xf, xs, gf)
+    )(spec.starts, hasp, spec.rebase, lidx, xf, xs, gf)
     return dwt[:, :Kl, :No]
 
 
@@ -1001,6 +1015,7 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
     Cx = x.shape[-1]
     ecells = (t + 2) ** dim
     win = spec.window.shape[-1]
+    wo = spec.subwin.shape[-1]
     P = spec.corr_src.shape[1]
     nb = spec.starts.shape[2]
     Bk = T // nb
@@ -1030,28 +1045,28 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
     hasp = spec.hasp
     Gk = spec.lidx_hi.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                         lambda b, n, st, hp: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Gk, 1),
-                         lambda b, n, st, hp: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Gk, 1),
-                         lambda b, n, st, hp: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
             pl.BlockSpec((1, Bk, glanes_p),
-                         lambda b, n, st, hp: (b, n, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),   # gf (row windows)
             pl.BlockSpec(memory_space=pl.ANY),   # gs0
             pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp: (0, 0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb: (0, 0, 0)),
             pl.BlockSpec((1, Bk, xlanes_p),
-                         lambda b, n, st, hp: (b, n, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, Bk, xlanes_p),
-                         lambda b, n, st, hp: (b, n, 0)),
-            pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp: (0, 0, 0)),
+                         lambda b, n, st, hp, rb: (b, n, 0)),
+            pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp, rb: (0, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, win, planes_v2), g.dtype),
@@ -1062,13 +1077,14 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
         ],
     )
     d_x, dwt = pl.pallas_call(
-        functools.partial(_bwd_kernel_v2, t, dim, Cg, Cx, win, P, T, Bk),
+        functools.partial(_bwd_kernel_v2, t, dim, Cg, Cx, win, wo, P,
+                          T, Bk),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((B, T, xlanes_p), g.dtype),
                    jax.ShapeDtypeStruct((3, Kl_p, No_p), jnp.float32)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(spec.starts, hasp, lidx, spec.lidx_hi, spec.lidx_lo, gf, gf, gs0,
+    )(spec.starts, hasp, spec.rebase, lidx, spec.lidx_hi, spec.lidx_lo, gf, gf, gs0,
       patch, wt.astype(g.dtype), xf)
     return (d_x[:, :, :xlanes].reshape(B, T, cells, Cx),
             dwt[:, :Kl, :No])
@@ -1085,6 +1101,7 @@ def _bwd_impl(x, w, g, spec, t, dim, interpret=False):
     Bk = T // spec.starts.shape[2]
     P = spec.corr_src.shape[1]
     win = spec.window.shape[-1]
+    wo = spec.subwin.shape[-1]
     # per-Cg VMEM: shared ext machinery + flipped weight block + the f32
     # dwt block rows (4 bytes) + the extra x input block
     span = 3 * (t + 2) if dim == 3 else (t + 2)
@@ -1161,6 +1178,7 @@ def _fused_impl(x, w, spec, t, dim, interpret=False):
     Bk = T // spec.starts.shape[2]
     P = spec.corr_src.shape[1]
     win = spec.window.shape[-1]
+    wo = spec.subwin.shape[-1]
     per_c = _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize)
     max_c = max(8, _SCRATCH_BUDGET // per_c)
     if C <= max_c:
@@ -1189,6 +1207,7 @@ def _dw_impl(x, g, spec, t, dim, interpret=False):
     Bk = T // spec.starts.shape[2]
     P = spec.corr_src.shape[1]
     win = spec.window.shape[-1]
+    wo = spec.subwin.shape[-1]
     per_c = _per_c_bytes(t, dim, Cout, win, P, Bk, itemsize)
     max_c = max(8, _SCRATCH_BUDGET // per_c)
     if C <= max_c:
