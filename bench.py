@@ -78,7 +78,7 @@ def main():
     # ev/s; the r2-era b8 rematerializer collapse no longer reproduces)
     batch = int(os.environ.get("BENCH_BATCH", 2 if smoke else 8))
     n_vox = int(os.environ.get("BENCH_VOXELS", 2000 if smoke else 100_000))
-    spatial = 64 if smoke else 512
+    spatial = int(os.environ.get("BENCH_SPATIAL", 64 if smoke else 512))
 
     cfg = URESNetConfig(
         model_name="uresnet_sparse", num_class=5, uresnet_filters=16,

@@ -218,19 +218,61 @@ def _v2_layout(t: int, dim: int, C: int):
     return seg0, seg1, 2 * seg0 + seg1
 
 
+@functools.lru_cache(maxsize=None)
+def _pack0_select_idx(C: int, t: int, dim: int):
+    """Per-pack-column source lane (or -1 for padding columns) for the
+    group-0 pack selection: column j of the pack reads input lane idx[j].
+    Only this (w,) vector is baked into the program; `_preslice0` expands
+    it to the one-hot matrix in-trace with an iota compare (embedding the
+    expanded matrix as an HLO constant measured 100s of MB at deep-level C
+    and overflowed the remote-compile request size)."""
+    _, pk0, runs = _pack0_cells(t, dim)
+    used = pk0 * C
+    w = _round_up(used, 128)
+    idx = np.full((w,), -1, np.int32)
+    col = 0
+    for (v, ln, _) in runs:
+        n = ln * C
+        idx[col:col + n] = np.arange(v * C, v * C + n)
+        col += n
+    assert col == used
+    return idx
+
+
 def _preslice0(flat, C, t, dim):
     """(B, T, cells*C...) -> (B, T, seg1_lanes): the d0=0 offsets' slab
     runs, densely packed, zero-padded to the 128-aligned segment width.
 
-    Two lowerings, URESNET_PRESLICE env-selectable for on-chip A/B:
-    'concat' (default) slices the ~56 runs and concatenates; 'take' is one
-    static cell-axis gather on a free reshape view."""
+    Three lowerings, URESNET_PRESLICE env-selectable for on-chip A/B:
+    'dot' (default; measured 2026-08 on-chip — the 56-fusion concat pass
+    was 257 ms/step, ~20% of the batch-8 step) contracts against a
+    constant one-hot selection matrix in one MXU matmul; 'concat' slices
+    the ~56 runs and concatenates; 'take' is one static cell-axis gather
+    on a free reshape view."""
     import os
     _, pk0, runs = _pack0_cells(t, dim)
     used = pk0 * C
     w = _round_up(used, 128)
     B, T = flat.shape[:2]
-    if os.environ.get("URESNET_PRESLICE", "concat") == "take":
+    # default: 'dot' on TPU (measured 7.562 vs 6.938 ev/s at bench scale,
+    # 2026-08-19 on-chip), 'concat' elsewhere (CPU matmuls this large are
+    # slower than slicing and the suite's oracles run on CPU)
+    mode = os.environ.get(
+        "URESNET_PRESLICE",
+        "dot" if jax.default_backend() == "tpu" else "concat")
+    if mode == "dot":
+        cells = t ** dim
+        # one-hot selection matmul on the MXU: exact even in bf16 (each
+        # output lane is x*1 plus zeros in the f32 accumulator). S is
+        # expanded in-trace (tiny idx constant + iota compare) — cheap VPU
+        # work next to the dot, and hoistable as a loop invariant.
+        idx = jnp.asarray(_pack0_select_idx(C, t, dim))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cells * C, w), 0)
+        S = (rows == idx[None, :]).astype(flat.dtype)
+        return jax.lax.dot_general(
+            flat[:, :, :cells * C], S, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(flat.dtype)
+    if mode == "take":
         cells = t ** dim
         idx = np.concatenate(
             [np.arange(v, v + ln) for (v, ln, _) in runs])
