@@ -61,7 +61,7 @@ class URESNetConfig:
     # "stage_dots" additionally SAVES the conv-kernel outputs so backward
     # re-runs only elementwise glue (more memory than "stage", far less
     # than "none" — measured 34G at 512^3 batch 4); "none" saves everything
-    remat_mode: str = "stage"           # {stage, stage_dots, none}
+    remat_mode: str = "stage"    # {stage, stage_dots, stage_dots_deep, none}
 
     # ---- io (reference: --io-type/-io etc.) ----
     io_type: str = "h5"                 # {h5, larcv_sparse, larcv_dense, synthetic}
@@ -102,7 +102,8 @@ class URESNetConfig:
             raise ValueError(f"data_dim must be 2 or 3, got {self.data_dim}")
         if self.model_name not in ("uresnet_sparse", "uresnet_dense"):
             raise ValueError(f"unknown model_name {self.model_name!r}")
-        if self.remat_mode not in ("stage", "stage_dots", "none"):
+        if self.remat_mode not in ("stage", "stage_dots",
+                                   "stage_dots_deep", "none"):
             raise ValueError(f"unknown remat_mode {self.remat_mode!r}")
         if self.width_ramp not in ("linear", "geometric"):
             raise ValueError(f"unknown width_ramp {self.width_ramp!r}")

@@ -229,9 +229,21 @@ class UResNetSparseTiled(nn.Module):
             return jnp.einsum("btvc,cd->btvd", y.astype(jnp.float32),
                               w_head) + b_head       # (B, T0, cells, nc)
 
-        if train and cfg.remat_mode in ("stage", "stage_dots"):
+        _enc_stage_l0, _dec_stage_l0 = _enc_stage, _dec_stage
+        if train and cfg.remat_mode in ("stage", "stage_dots",
+                                        "stage_dots_deep"):
             pol = (jax.checkpoint_policies.save_only_these_names("conv_out")
-                   if cfg.remat_mode == "stage_dots" else None)
+                   if cfg.remat_mode.startswith("stage_dots") else None)
+            # stage_dots_deep: level 0's conv outputs dominate the saved-
+            # residual HBM footprint (widest T wins on bytes even at the
+            # narrowest C) — recompute level 0's kernels in backward
+            # (policy None) but keep the cheap deep-level conv outputs
+            # saved. Stage boundaries + skips are saved in every mode.
+            pol_l0 = None if cfg.remat_mode == "stage_dots_deep" else pol
+            _enc_stage_l0 = nn.remat(_enc_stage, static_argnums=(6,),
+                                     policy=pol_l0)
+            _dec_stage_l0 = nn.remat(_dec_stage, static_argnums=(8,),
+                                     policy=pol_l0)
             _enc_stage = nn.remat(_enc_stage, static_argnums=(6,),
                                   policy=pol)
             _dec_stage = nn.remat(_dec_stage, static_argnums=(8,),
@@ -249,14 +261,15 @@ class UResNetSparseTiled(nn.Module):
             nxt_occ = (levels[l + 1].occ if l < nlev - 1
                        else levels[l].occ)           # unused at bottom
             link = links[l] if l < nlev - 1 else links[-1]
-            skip, x = _enc_stage(self, x, levels[l], masks[l], nxt_occ,
-                                 link, l)
+            enc = _enc_stage_l0 if l == 0 else _enc_stage
+            skip, x = enc(self, x, levels[l], masks[l], nxt_occ, link, l)
             if l < nlev - 1:
                 skips.append(skip)
 
         for l in reversed(range(nlev - 1)):
-            x = _dec_stage(self, x, skips[l], levels[l], masks[l],
-                           masks[l + 1], levels[l].occ, links[l], l)
+            dec = _dec_stage_l0 if l == 0 else _dec_stage
+            x = dec(self, x, skips[l], levels[l], masks[l],
+                    masks[l + 1], levels[l].occ, links[l], l)
 
         logits_tiles = _head_stage(self, x, masks[0])
 
