@@ -336,3 +336,33 @@ def test_fused_bn_act_model_path_matches_unfused():
     assert np.isfinite(out_eval).all()
     for bb in range(B):
         assert (out_eval[bb, int(nv[bb]):] == 0).all()
+
+
+@pytest.mark.parametrize("C,t,dim,dtype", [
+    (16, 4, 3, np.float32), (16, 4, 3, "bfloat16"),
+    (48, 4, 3, np.float32), (8, 4, 2, np.float32),
+    (5, 4, 3, np.float32),   # C not lane-aligned: pad columns exercise -1 idx
+])
+def test_preslice0_lowerings_agree(monkeypatch, C, t, dim, dtype):
+    """The three _preslice0 lowerings (concat / dot / take) must agree
+    BITWISE: the TPU default is 'dot' but the CPU suite otherwise always
+    resolves to 'concat' (ADVICE r4: the default lowering had no direct
+    equivalence test). The dot must be exact for f32 too (ADVICE r4
+    medium: default MXU precision rounds f32 operands to bf16; the
+    Precision.HIGHEST guard keeps it bit-exact on TPU — on CPU all
+    precisions are exact, so this test pins shape/selection correctness
+    and the TPU-gated suite pins the on-chip precision contract)."""
+    from uresnet_pytorch_tpu.ops.pallas.halo_conv import _preslice0
+    rng = np.random.default_rng(123)
+    B, T = 2, 16
+    cells = t ** dim
+    lanes_p = ((cells * C + 127) // 128) * 128
+    x = rng.normal(size=(B, T, lanes_p)).astype(np.float32)
+    flat = jnp.asarray(x).astype(dtype)
+    outs = {}
+    for mode in ("concat", "dot", "take"):
+        monkeypatch.setenv("URESNET_PRESLICE", mode)
+        outs[mode] = np.asarray(_preslice0(flat, C, t, dim))
+    assert outs["concat"].shape == outs["dot"].shape == outs["take"].shape
+    np.testing.assert_array_equal(outs["dot"], outs["concat"])
+    np.testing.assert_array_equal(outs["take"], outs["concat"])

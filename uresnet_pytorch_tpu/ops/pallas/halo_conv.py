@@ -254,23 +254,32 @@ def _preslice0(flat, C, t, dim):
     used = pk0 * C
     w = _round_up(used, 128)
     B, T = flat.shape[:2]
-    # default: 'dot' on TPU (measured 7.562 vs 6.938 ev/s at bench scale,
-    # 2026-08-19 on-chip), 'concat' elsewhere (CPU matmuls this large are
-    # slower than slicing and the suite's oracles run on CPU)
+    # default: 'dot' on TPU (measured 7.621 vs 6.938 ev/s at bench scale,
+    # 2026-08-19 on-chip — benchmarks/results.json is the number of
+    # record), 'concat' elsewhere (CPU matmuls this large are slower than
+    # slicing and the suite's oracles run on CPU)
     mode = os.environ.get(
         "URESNET_PRESLICE",
         "dot" if jax.default_backend() == "tpu" else "concat")
     if mode == "dot":
         cells = t ** dim
-        # one-hot selection matmul on the MXU: exact even in bf16 (each
-        # output lane is x*1 plus zeros in the f32 accumulator). S is
-        # expanded in-trace (tiny idx constant + iota compare) — cheap VPU
-        # work next to the dot, and hoistable as a loop invariant.
+        # one-hot selection matmul on the MXU: exact for bf16 inputs at
+        # default precision (each output lane is x*1 plus zeros in the f32
+        # accumulator). f32 inputs need Precision.HIGHEST: the default MXU
+        # precision rounds f32 operands to bf16 (ADVICE r4: verified
+        # on-chip — default-precision dot output was bit-identical to
+        # bf16-rounding the concat output, ~4e-3 rel err; HIGHEST is
+        # bit-exact). S is expanded in-trace (tiny idx constant + iota
+        # compare) — cheap VPU work next to the dot, and hoistable as a
+        # loop invariant.
         idx = jnp.asarray(_pack0_select_idx(C, t, dim))
         rows = jax.lax.broadcasted_iota(jnp.int32, (cells * C, w), 0)
         S = (rows == idx[None, :]).astype(flat.dtype)
+        prec = (None if flat.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
         return jax.lax.dot_general(
             flat[:, :, :cells * C], S, (((2,), (0,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32).astype(flat.dtype)
     if mode == "take":
         cells = t ** dim
