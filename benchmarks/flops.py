@@ -131,29 +131,63 @@ def event_flops(coords: np.ndarray, spatial: int, planes, reps: int,
             "sites": N, "pairs": pairs}
 
 
-def tile_actual_flops(cfg) -> int:
-    """Conv-dot MACs*2 the tile engine issues per event (capacity tiles,
-    per-(o0[,o1])-group banded Toeplitz dots: t^(d-1) groups x 3 blocks of
-    (span*Cin x t*Cout) per tile, span = 3*(t+2) for d=3 / (t+2) for d=2 —
-    a ~2x band overcompute vs dense-3^d). Down/up/nin/head are dense GEMMs
-    at capacity rows. One-hot gather/pack dots are EXCLUDED (their depth
-    is the data-dependent window height, not a conv property)."""
+def level_tiles(coords: np.ndarray, cfg) -> list:
+    """Occupied-tile count per level for one event (numpy, host-side):
+    level-l tile key = (voxel coords >> l) >> log2(t_l)."""
+    from uresnet_pytorch_tpu.ops.tile_graph import tile_size_at
+    c = np.asarray(coords, np.int64)
+    out = []
+    for l in range(cfg.uresnet_num_strides):
+        t = tile_size_at(cfg, l)
+        tc = (c >> l) // t
+        s = max(2, cfg.level_spatial_size(l) // t)
+        bits = max(1, int(np.ceil(np.log2(s))))
+        key = tc[:, 0]
+        for d in range(1, tc.shape[1]):
+            key = (key << bits) | tc[:, d]
+        out.append(len(np.unique(key)))
+    return out
+
+
+def tile_actual_flops(cfg, coords: np.ndarray = None) -> int:
+    """Conv-dot MACs*2 the tile engine issues per event: per-(o0[,o1])-group
+    banded Toeplitz dots — t^(d-1) groups x 3 blocks of (span*Cin x t*Cout)
+    per tile row, span = 3*(t+2) for d=3 / (t+2) for d=2 (~2x band
+    overcompute vs dense-3^d). Down/up/nin/head are dense GEMMs. One-hot
+    gather/pack dots are EXCLUDED (their depth is the data-dependent window
+    height, not a conv property).
+
+    Rows charged: with `coords` (one event's voxels), the LIVENESS-GATED
+    row count — live tiles rounded up to whole HALO_BLOCK blocks per level
+    (ops/halo.py Halo26Spec.blive: the kernels skip capacity-padding blocks
+    beyond the sorted live prefix). Without coords, the static capacity
+    (the pre-gating upper bound)."""
+    from uresnet_pytorch_tpu.ops.halo import HALO_BLOCK
     from uresnet_pytorch_tpu.ops.tile_graph import (tile_capacity_at,
                                                     tile_size_at)
     dim = cfg.data_dim
     planes = cfg.n_planes
+    ntl = level_tiles(coords, cfg) if coords is not None else None
     total = 0
     for kind, l, cin, cout in model_convs(planes, cfg.reps):
         if kind == "head":
             cout = cfg.num_class
-        T = tile_capacity_at(cfg, min(l, cfg.uresnet_num_strides - 1))
-        t = tile_size_at(cfg, min(l, cfg.uresnet_num_strides - 1))
+        lv = min(l, cfg.uresnet_num_strides - 1)
+        T = tile_capacity_at(cfg, lv)
+        t = tile_size_at(cfg, lv)
         cells = t ** dim
+        rows = T
+        if ntl is not None and kind == "sm":
+            Bk = min(HALO_BLOCK, T)
+            while T % Bk:
+                Bk //= 2
+            rows = min(T, -(-ntl[lv] // Bk) * Bk)
+        # down/up/nin/head run as XLA GEMMs over capacity rows (ungated)
         if kind == "sm":
             span = 3 * (t + 2) if dim == 3 else (t + 2)
-            total += 2 * T * t ** (dim - 1) * 3 * span * cin * t * cout
+            total += 2 * rows * t ** (dim - 1) * 3 * span * cin * t * cout
         else:
-            total += 2 * T * cells * cin * cout
+            total += 2 * rows * cells * cin * cout
     return int(total)
 
 
@@ -210,15 +244,15 @@ def annotate_result(row: dict, cfg, blob, train: bool = False) -> dict:
         row["pct_peak"] = u["pct_of_peak"]
         return row
     batch = blob["coords"].shape[0]
-    ideal = d27 = 0
+    ideal = d27 = actual = 0
     for b in range(batch):
         n = int(blob["n_voxels"][b])
         ef = event_flops(blob["coords"][b, :n], cfg.spatial_size,
                          cfg.n_planes, cfg.reps, cfg.num_class)
         ideal += ef["sparse_ideal"]
         d27 += ef["dense27_ideal"]
-    ideal, d27 = ideal // batch, d27 // batch
-    actual = tile_actual_flops(cfg)
+        actual += tile_actual_flops(cfg, blob["coords"][b, :n])
+    ideal, d27, actual = ideal // batch, d27 // batch, actual // batch
     row["flops_per_event_sparse_ideal"] = ideal
     row["flops_per_event_dense27"] = d27
     row["flops_per_event_tile_actual"] = actual

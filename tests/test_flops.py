@@ -98,3 +98,28 @@ def test_utilization_and_annotate():
     drow = annotate_result({"metric": "d", "value": 2.0}, dcfg, blob,
                            train=True)
     assert drow["flops_per_event_dense"] > 0 and drow["pct_peak"] > 0
+
+
+def test_tile_actual_liveness_gating():
+    """tile_actual_flops with event coords charges only live blocks
+    (Halo26Spec.blive gating): a sparse event costs strictly less than the
+    static capacity bound, never more, and monotonically more voxels never
+    cost fewer conv rows."""
+    from uresnet_pytorch_tpu.config import URESNetConfig
+    from benchmarks.flops import level_tiles, tile_actual_flops
+    cfg = URESNetConfig(model_name="uresnet_sparse", spatial_size=128,
+                        uresnet_filters=8, uresnet_num_strides=4,
+                        max_voxels=8192, batch_size=1)
+    rng = np.random.default_rng(3)
+    # a compact track-like cluster: few occupied tiles
+    base = rng.integers(20, 40, (1, 3))
+    small = (base + rng.integers(0, 12, (600, 3))).astype(np.int32) % 128
+    cap_bound = tile_actual_flops(cfg)          # no coords: capacity rows
+    gated = tile_actual_flops(cfg, small)
+    assert gated < cap_bound
+    # spread voxels everywhere -> occupied tiles approach capacity
+    big = rng.integers(0, 128, (8192, 3)).astype(np.int32)
+    assert tile_actual_flops(cfg, big) <= cap_bound
+    assert tile_actual_flops(cfg, big) >= gated
+    nt = level_tiles(small, cfg)
+    assert all(n > 0 for n in nt) and nt == sorted(nt, reverse=True)

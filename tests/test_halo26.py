@@ -31,6 +31,17 @@ def _random_level(rng, G, dim, T, n_active):
                           jnp.ones(n_active, bool), G)))]
 
 
+def _zero_dead(arr, keys):
+    """Zero rows at sentinel (dead) tile keys — the production invariant
+    (scatter-built feats + downstream re-masking keep dead rows all-zero)
+    that the liveness-gated kernels rely on: fully-dead tile blocks skip
+    compute and write zeros, so oracle comparisons must not feed random
+    values into rows the model guarantees are zero."""
+    live = jnp.asarray(np.asarray(keys) != SENTINEL)
+    return arr * live[(...,) + (None,) * (arr.ndim - live.ndim)].astype(
+        arr.dtype)
+
+
 def _dense_oracle(keys, x, G, t, dim):
     """Place tiles into a dense volume, read back each tile's halo-extended
     block — the ground truth for any halo implementation."""

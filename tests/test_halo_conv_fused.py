@@ -12,7 +12,7 @@ import pytest
 from uresnet_pytorch_tpu.ops.halo import build_halo26, halo26_extend_xla
 from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
     _fused_impl, flip_weights, halo_conv_fwd, toeplitz_weights)
-from tests.test_halo26 import _random_level
+from tests.test_halo26 import _random_level, _zero_dead
 
 _CONV_DN = {3: ("NDHWC", "DHWIO", "NDHWC"), 2: ("NHWC", "HWIO", "NHWC")}
 
@@ -58,10 +58,12 @@ def test_fused_correction_path():
     rng = np.random.default_rng(5)
     dim, G, t, Cin, Cout, B, T = 3, 8, 4, 3, 4, 1, 64
     keys = [_random_level(rng, G, dim, T, 48)[0]]
-    _, spec = _spec_batched(keys, G, dim, block=8, win_mult=1)
+    keysb, spec = _spec_batched(keys, G, dim, block=8, win_mult=1)
     assert int(np.asarray(spec.corr_ok).sum()) > 0
     assert int(np.asarray(spec.overflow).sum()) == 0
+    assert int(np.asarray(spec.blive).min()) == 0   # gating engages
     x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    x = _zero_dead(x, keysb)
     w = jnp.asarray(
         rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
     ref = _oracle(x, spec, t, dim, w)
@@ -135,13 +137,14 @@ def test_dw_kernel_matches_autodiff(dim, G, t, Cin, Cout, B, kw):
     rng = np.random.default_rng(13 + dim + Cin)
     T = 64
     keys = [_random_level(rng, G, dim, T, 40)[0] for _ in range(B)]
-    _, spec = _spec_batched(keys, G, dim, **kw)
+    keysb, spec = _spec_batched(keys, G, dim, **kw)
     if kw:
         assert int(np.asarray(spec.corr_ok).sum()) > 0
     x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cout)).astype(np.float32))
+    x, g = _zero_dead(x, keysb), _zero_dead(g, keysb)
     w = jnp.asarray(
         rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
-    g = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cout)).astype(np.float32))
     _, ref_vjp = jax.vjp(lambda xx, ww: _oracle(xx, spec, t, dim, ww), x, w)
     _, ref_dw = ref_vjp(g)
     d_w = _dw_impl(x, g, spec, t, dim, interpret=True)
@@ -163,13 +166,14 @@ def test_combined_bwd_matches_autodiff(Cin, Cout, kw):
     rng = np.random.default_rng(31 + Cin)
     dim, G, t, B, T = 3, 8, 4, 2, 64
     keys = [_random_level(rng, G, dim, T, 40)[0] for _ in range(B)]
-    _, spec = _spec_batched(keys, G, dim, **kw)
+    keysb, spec = _spec_batched(keys, G, dim, **kw)
     if kw:
         assert int(np.asarray(spec.corr_ok).sum()) > 0
     x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cout)).astype(np.float32))
+    x, g = _zero_dead(x, keysb), _zero_dead(g, keysb)
     w = jnp.asarray(
         rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
-    g = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cout)).astype(np.float32))
     _, ref_vjp = jax.vjp(lambda xx, ww: _oracle(xx, spec, t, dim, ww), x, w)
     ref_dx, ref_dw = ref_vjp(g)
     d_x, d_w = _bwd_impl(x, w, g, spec, t, dim, interpret=True)
@@ -215,10 +219,12 @@ def test_fused_v2_correction_path():
     dim, G, t, Cin, Cout, B, T = 3, 8, 4, 16, 8, 2, 64
     assert _v2_layout(t, dim, Cin) is not None
     keys = [_random_level(rng, G, dim, T, 48)[0] for _ in range(B)]
-    _, spec = _spec_batched(keys, G, dim, block=8, win_mult=1)
+    keysb, spec = _spec_batched(keys, G, dim, block=8, win_mult=1)
     assert int(np.asarray(spec.corr_ok).sum()) > 0
     assert int(np.asarray(spec.overflow).sum()) == 0
+    assert int(np.asarray(spec.blive).min()) == 0   # gating engages
     x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    x = _zero_dead(x, keysb)
     w = jnp.asarray(
         rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
     ref = _oracle(x, spec, t, dim, w)
@@ -366,3 +372,35 @@ def test_preslice0_lowerings_agree(monkeypatch, C, t, dim, dtype):
     assert outs["concat"].shape == outs["dot"].shape == outs["take"].shape
     np.testing.assert_array_equal(outs["dot"], outs["concat"])
     np.testing.assert_array_equal(outs["take"], outs["concat"])
+
+
+def test_block_liveness_gating_exact():
+    """Per-block liveness gating (Halo26Spec.blive): blocks beyond the
+    sorted live-tile prefix skip the ext build + conv dots and write
+    zeros. With the production invariant (dead rows all-zero), the gated
+    kernel must equal the oracle everywhere AND emit exact zeros on dead
+    blocks — the mechanism that makes static tile capacity nearly free in
+    issued MACs (VERDICT r4: deep levels run 2-3x more capacity than
+    occupied tiles)."""
+    rng = np.random.default_rng(57)
+    dim, G, t, Cin, Cout, B, T, live = 3, 8, 4, 16, 8, 2, 128, 40
+    keys = [_random_level(rng, G, dim, T, live)[0] for _ in range(B)]
+    keysb, spec = _spec_batched(keys, G, dim, block=16)
+    bl = np.asarray(spec.blive)
+    nb = bl.shape[1]
+    Bk = T // nb
+    # blive is exactly the live-prefix block mask
+    expect = (np.arange(nb) * Bk < live).astype(np.int32)
+    np.testing.assert_array_equal(bl, np.tile(expect, (B, 1)))
+    assert bl.min() == 0 and bl.max() == 1     # gating actually engages
+    x = jnp.asarray(rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    x = _zero_dead(x, keysb)
+    w = jnp.asarray(
+        rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
+    ref = _oracle(x, spec, t, dim, w)
+    wt = toeplitz_weights(w, t, dim)
+    out = np.asarray(halo_conv_fwd(x, wt, spec, t, dim, interpret=True))
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-4, rtol=1e-4)
+    # dead blocks: bitwise zero (written by the gate's else-branch)
+    dead0 = (np.ceil(live / Bk).astype(int)) * Bk
+    assert (out[:, dead0:] == 0).all()

@@ -12,7 +12,7 @@ from uresnet_pytorch_tpu.ops import halo as halo_mod
 from uresnet_pytorch_tpu.ops.halo import build_halo26
 from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
     halo_conv_fwd, toeplitz_weights)
-from tests.test_halo26 import _random_level
+from tests.test_halo26 import _random_level, _zero_dead
 from tests.test_halo_conv_fused import _oracle, _spec_batched
 
 
@@ -61,10 +61,11 @@ def test_rebased_kernel_matches_oracle(Cin, Cout):
     rng = np.random.default_rng(23)
     dim, G, t, B, T = 3, 16, 4, 1, 512
     keys = [_big_level(rng, G, dim, T, 400)]
-    _, spec = _spec_batched(keys, G, dim, block=64)
+    keysb, spec = _spec_batched(keys, G, dim, block=64)
     assert np.asarray(spec.rebase).max() > 0, "fixture must engage rebase"
     x = jnp.asarray(
         rng.normal(size=(B, T, t ** dim, Cin)).astype(np.float32))
+    x = _zero_dead(x, keysb)
     w = jnp.asarray(
         rng.normal(size=(3 ** dim, Cin, Cout)).astype(np.float32)) * 0.3
     ref = _oracle(x, spec, t, dim, w)

@@ -314,9 +314,9 @@ def _patch_rows_v2(xf, spec, t, dim, C):
 
 
 def _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
-                  reb_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref, xf_ref,
-                  xs0_ref, patch_ref, win_scr, patch_scr, ext_scr, sems,
-                  psem):
+                  reb_ref, bl_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref,
+                  xf_ref, xs0_ref, patch_ref, win_scr, patch_scr, ext_scr,
+                  sems, psem):
     """Stage 1 of the v2 kernels: fill ext_scr (Bk, ecells*C) with the
     halo-extended block — three group window DMAs + one-hot MXU gathers +
     gated patch-row corrections. Shared by the forward conv kernel and the
@@ -385,9 +385,14 @@ def _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
     @pl.when(n + 1 < nb)
     def _():
         # prefetch block n+1's windows into the other buffer; its last
-        # reader was step n-1, already complete (grid steps are sequential)
-        for d in win_dmas(n + 1, jax.lax.rem(n + 1, 2)):
-            d.start()
+        # reader was step n-1, already complete (grid steps are sequential).
+        # Skip when block n+1 is dead (beyond the live-tile prefix): step
+        # n+1's whole body is then predicated off, so nothing waits on these
+        # — issue and wait stay consistent because blive is a prefix mask.
+        @pl.when(bl_ref[b, n + 1] != 0)
+        def _():
+            for d in win_dmas(n + 1, jax.lax.rem(n + 1, 2)):
+                d.start()
 
     xb = xblk_ref[0]                                   # (Bk, cells*C)
     for (c0, ln, e0) in body_plan:
@@ -541,18 +546,16 @@ def _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
         out_ref[0, :, sl0:sl0 + No] = z.astype(dt)
 
 
-def _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref):
+def _dw_stage(t, dim, C, Cout, ext_scr, g_ref, out_ref):
     """Weight-gradient stage: out_ref[dd] += sum over output row-groups of
     ext_slice(dd)^T @ g_group, the exact adjoint of `_conv_stage` w.r.t.
     the banded Toeplitz weights (f32 accumulation; out block revisited
-    across the whole grid, flushed to HBM once at the end)."""
+    across the whole grid, flushed to HBM once at the end). Callers zero
+    out_ref at grid step (0, 0) UNCONDITIONALLY — the init must run even
+    when that block is liveness-gated off."""
     groups, span = _out_groups(t, dim)
     Kl = span * C
     No = t * Cout
-
-    @pl.when(jnp.logical_and(b == 0, n == 0))
-    def _():
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     gb = g_ref[0]                                      # (Bk, olanes_p)
     for dd in range(3):
@@ -568,48 +571,78 @@ def _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref):
 
 
 def _fused_kernel_v2(t, dim, C, Cout, win, wo, P, Tsrc, Bk,
-                     starts_ref, hasp_ref, reb_ref, lidx_ref, lhi_ref,
-                     llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref, wt_ref,
-                     out_ref, win_scr, patch_scr, ext_scr, sems, psem):
+                     starts_ref, hasp_ref, reb_ref, bl_ref, lidx_ref,
+                     lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
+                     wt_ref, out_ref, win_scr, patch_scr, ext_scr, sems,
+                     psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
-                  reb_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref, xf_ref,
-                  xs0_ref, patch_ref, win_scr, patch_scr, ext_scr, sems,
-                  psem)
-    _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
+    live = bl_ref[b, n] != 0
+
+    @pl.when(live)
+    def _():
+        _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
+                      reb_ref, bl_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref,
+                      xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
+                      ext_scr, sems, psem)
+        _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
+
+    # dead block (all tiles beyond the live prefix): inputs are all-zero,
+    # so conv output is zero — write it directly, skipping DMAs + dots
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
 
 def _fused_kernel_v2_bn(t, dim, C, Cout, win, wo, P, Tsrc, Bk, alpha,
-                        starts_ref, hasp_ref, reb_ref, lidx_ref, lhi_ref,
-                        llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref,
-                        wt_ref, ab_ref, mask_ref, emat_ref, out_ref,
-                        win_scr, patch_scr, ext_scr, sems, psem):
+                        starts_ref, hasp_ref, reb_ref, bl_ref, lidx_ref,
+                        lhi_ref, llo_ref, xblk_ref, xf_ref, xs0_ref,
+                        patch_ref, wt_ref, ab_ref, mask_ref, emat_ref,
+                        out_ref, win_scr, patch_scr, ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
-                  reb_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref, xf_ref,
-                  xs0_ref, patch_ref, win_scr, patch_scr, ext_scr, sems,
-                  psem)
-    _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
-                   mask_ref, emat_ref, out_ref)
+    live = bl_ref[b, n] != 0
+
+    @pl.when(live)
+    def _():
+        _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
+                      reb_ref, bl_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref,
+                      xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
+                      ext_scr, sems, psem)
+        _conv_stage_bn(t, dim, C, Cout, alpha, ext_scr, wt_ref, ab_ref,
+                       mask_ref, emat_ref, out_ref)
+
+    # dead block: the epilogue's occupancy mask is all-zero there, so the
+    # fused result is zero regardless of the affine — write it directly
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
 
 def _dw_kernel_v2(t, dim, C, Cout, win, wo, P, Tsrc, Bk,
-                  starts_ref, hasp_ref, reb_ref, lidx_ref, lhi_ref,
+                  starts_ref, hasp_ref, reb_ref, bl_ref, lidx_ref, lhi_ref,
                   llo_ref, xblk_ref, xf_ref, xs0_ref, patch_ref, g_ref,
                   out_ref, win_scr, patch_scr, ext_scr, sems, psem):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
-                  reb_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref, xf_ref,
-                  xs0_ref, patch_ref, win_scr, patch_scr, ext_scr, sems,
-                  psem)
-    _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref)
+
+    # accumulator init must NOT be liveness-gated (block (0,0) can be dead
+    # for zero-voxel padding events)
+    @pl.when(jnp.logical_and(b == 0, n == 0))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(bl_ref[b, n] != 0)
+    def _():
+        _build_ext_v2(t, dim, C, win, wo, P, b, n, starts_ref, hasp_ref,
+                      reb_ref, bl_ref, lidx_ref, lhi_ref, llo_ref, xblk_ref,
+                      xf_ref, xs0_ref, patch_ref, win_scr, patch_scr,
+                      ext_scr, sems, psem)
+        _dw_stage(t, dim, C, Cout, ext_scr, g_ref, out_ref)
 
 
 def _bwd_kernel_v2(t, dim, Cg, Cx, win, wo, P, Tsrc, Bk,
-                   starts_ref, hasp_ref, reb_ref, lidx_ref, lhi_ref,
+                   starts_ref, hasp_ref, reb_ref, bl_ref, lidx_ref, lhi_ref,
                    llo_ref, gblk_ref, gf_ref, gs0_ref, patchg_ref, wt_ref,
                    x_ref, dx_ref, dwt_ref, win_scr, patch_scr, ext_scr,
                    sems, psem):
@@ -622,12 +655,24 @@ def _bwd_kernel_v2(t, dim, Cg, Cx, win, wo, P, Tsrc, Bk,
     self-adjoint permutation-transpose)."""
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v2(t, dim, Cg, win, wo, P, b, n, starts_ref, hasp_ref,
-                  reb_ref, lidx_ref, lhi_ref, llo_ref, gblk_ref, gf_ref,
-                  gs0_ref, patchg_ref, win_scr, patch_scr, ext_scr, sems,
-                  psem)
-    _conv_stage(t, dim, Cg, Cx, ext_scr, wt_ref, dx_ref)
-    _dw_stage(t, dim, Cg, Cx, b, n, ext_scr, x_ref, dwt_ref)
+    live = bl_ref[b, n] != 0
+
+    @pl.when(jnp.logical_and(b == 0, n == 0))
+    def _():
+        dwt_ref[...] = jnp.zeros(dwt_ref.shape, dwt_ref.dtype)
+
+    @pl.when(live)
+    def _():
+        _build_ext_v2(t, dim, Cg, win, wo, P, b, n, starts_ref, hasp_ref,
+                      reb_ref, bl_ref, lidx_ref, lhi_ref, llo_ref, gblk_ref,
+                      gf_ref, gs0_ref, patchg_ref, win_scr, patch_scr,
+                      ext_scr, sems, psem)
+        _conv_stage(t, dim, Cg, Cx, ext_scr, wt_ref, dx_ref)
+        _dw_stage(t, dim, Cg, Cx, ext_scr, x_ref, dwt_ref)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
 
 
 def _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n, starts_ref,
@@ -690,25 +735,40 @@ def _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n, starts_ref,
 
 
 def _fused_kernel(grouped, t, dim, C, Cout, win, wo, P, Tsrc, Bk,
-                  starts_ref, hasp_ref, reb_ref, lidx_ref, xblk_ref,
+                  starts_ref, hasp_ref, reb_ref, bl_ref, lidx_ref, xblk_ref,
                   xs_ref, wt_ref, out_ref, win_scr, ext_scr, sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n, starts_ref,
-                  hasp_ref, reb_ref, lidx_ref, xblk_ref, xs_ref, win_scr,
-                  ext_scr, sems)
-    _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
+    live = bl_ref[b, n] != 0
+
+    @pl.when(live)
+    def _():
+        _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n,
+                      starts_ref, hasp_ref, reb_ref, lidx_ref, xblk_ref,
+                      xs_ref, win_scr, ext_scr, sems)
+        _conv_stage(t, dim, C, Cout, ext_scr, wt_ref, out_ref)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
 
 def _dw_kernel_v1(grouped, t, dim, C, Cout, win, wo, P, Tsrc, Bk,
-                  starts_ref, hasp_ref, reb_ref, lidx_ref, xblk_ref,
+                  starts_ref, hasp_ref, reb_ref, bl_ref, lidx_ref, xblk_ref,
                   xs_ref, g_ref, out_ref, win_scr, ext_scr, sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n, starts_ref,
-                  hasp_ref, reb_ref, lidx_ref, xblk_ref, xs_ref, win_scr,
-                  ext_scr, sems)
-    _dw_stage(t, dim, C, Cout, b, n, ext_scr, g_ref, out_ref)
+
+    @pl.when(jnp.logical_and(b == 0, n == 0))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(bl_ref[b, n] != 0)
+    def _():
+        _build_ext_v1(grouped, t, dim, C, win, wo, P, Tsrc, b, n,
+                      starts_ref, hasp_ref, reb_ref, lidx_ref, xblk_ref,
+                      xs_ref, win_scr, ext_scr, sems)
+        _dw_stage(t, dim, C, Cout, ext_scr, g_ref, out_ref)
 
 
 def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
@@ -753,24 +813,24 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
         xs0 = _preslice0(xf, C, t, dim)
         Gk = spec.lidx_hi.shape[2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
                 pl.BlockSpec((1, 1, Gk, 1),
-                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
                 pl.BlockSpec((1, 1, Gk, 1),
-                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p),
-                             lambda b, n, st, hp, rb: (b, n, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
                 pl.BlockSpec(memory_space=pl.ANY),   # xs0
                 pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-                pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb: (0, 0, 0)),
+                pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb, bl: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Bk, olanes_p),
-                                   lambda b, n, st, hp, rb: (b, n, 0)),
+                                   lambda b, n, st, hp, rb, bl: (b, n, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, win, planes_v2), x.dtype),
                 pltpu.VMEM((max(P, 1), planes_v2), x.dtype),
@@ -787,24 +847,24 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, spec.rebase, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
+        )(spec.starts, hasp, spec.rebase, spec.blive, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
           xs0, patch, wt.astype(x.dtype))
         return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
     xs = _preslice(xf, C, t, dim, 1)
     xs = _with_patch_rows(xs, spec, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
-            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp, rb: (b, n, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
+            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp, rb, bl: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb: (0, 0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb, bl: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Bk, olanes_p),
-                               lambda b, n, st, hp, rb: (b, n, 0)),
+                               lambda b, n, st, hp, rb, bl: (b, n, 0)),
         scratch_shapes=[
             pltpu.VMEM((win + P, planes_p), x.dtype),
             pltpu.VMEM((Bk, elanes_p), x.dtype),
@@ -818,7 +878,7 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
         out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(spec.starts, hasp, spec.rebase, lidx, xf, xs, wt.astype(x.dtype))
+    )(spec.starts, hasp, spec.rebase, spec.blive, lidx, xf, xs, wt.astype(x.dtype))
     return out[:, :, :olanes].reshape(B, T, cells, Cout)
 
 
@@ -892,29 +952,29 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
                        dtype=x.dtype)
     Gk = spec.lidx_hi.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Gk, 1),
-                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Gk, 1),
-                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
             pl.BlockSpec((1, Bk, lanes_p),
-                         lambda b, n, st, hp, rb: (b, n, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
             pl.BlockSpec(memory_space=pl.ANY),   # xs0
             pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb: (0, 0, 0)),
-            pl.BlockSpec((2, olanes_p), lambda b, n, st, hp, rb: (0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb, bl: (0, 0, 0)),
+            pl.BlockSpec((2, olanes_p), lambda b, n, st, hp, rb, bl: (0, 0)),
             pl.BlockSpec((1, Bk, mlanes_p),
-                         lambda b, n, st, hp, rb: (b, n, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0)),
             pl.BlockSpec((mlanes_p, olanes_p),
-                         lambda b, n, st, hp, rb: (0, 0)),
+                         lambda b, n, st, hp, rb, bl: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Bk, olanes_p),
-                               lambda b, n, st, hp, rb: (b, n, 0)),
+                               lambda b, n, st, hp, rb, bl: (b, n, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, win, planes_v2), x.dtype),
             pltpu.VMEM((max(P, 1), planes_v2), x.dtype),
@@ -930,7 +990,7 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
         out_shape=jax.ShapeDtypeStruct((B, T, olanes_p), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(spec.starts, hasp, spec.rebase, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf, xs0,
+    )(spec.starts, hasp, spec.rebase, spec.blive, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf, xs0,
       patch, wt.astype(x.dtype), ab, mk, emat)
     if flat_out:
         return out
@@ -976,7 +1036,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
     hasp = spec.hasp
     grouped = _grouped_now(dim)
     v2 = _v2_layout(t, dim, C) if grouped else None
-    out_spec = pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp, rb: (0, 0, 0))
+    out_spec = pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp, rb, bl: (0, 0, 0))
     out_shape = jax.ShapeDtypeStruct((3, Kl_p, No_p), jnp.float32)
 
     if v2 is not None:
@@ -986,22 +1046,22 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
         xs0 = _preslice0(xf, C, t, dim)
         Gk = spec.lidx_hi.shape[2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
                 pl.BlockSpec((1, 1, Gk, 1),
-                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
                 pl.BlockSpec((1, 1, Gk, 1),
-                             lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
                 pl.BlockSpec((1, Bk, lanes_p),
-                             lambda b, n, st, hp, rb: (b, n, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),   # xf (row windows)
                 pl.BlockSpec(memory_space=pl.ANY),   # xs0
                 pl.BlockSpec(memory_space=pl.ANY),   # patch rows
                 pl.BlockSpec((1, Bk, olanes_p),
-                             lambda b, n, st, hp, rb: (b, n, 0)),
+                             lambda b, n, st, hp, rb, bl: (b, n, 0)),
             ],
             out_specs=out_spec,
             scratch_shapes=[
@@ -1020,21 +1080,21 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, spec.rebase, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
+        )(spec.starts, hasp, spec.rebase, spec.blive, lidx, spec.lidx_hi, spec.lidx_lo, xf, xf,
           xs0, patch, gf)
         return dwt[:, :Kl, :No]
 
     xs = _preslice(xf, C, t, dim, 1)
     xs = _with_patch_rows(xs, spec, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
-            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp, rb: (b, n, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
+            pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp, rb, bl: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, Bk, olanes_p), lambda b, n, st, hp, rb: (b, n, 0)),
+            pl.BlockSpec((1, Bk, olanes_p), lambda b, n, st, hp, rb, bl: (b, n, 0)),
         ],
         out_specs=out_spec,
         scratch_shapes=[
@@ -1050,7 +1110,7 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(spec.starts, hasp, spec.rebase, lidx, xf, xs, gf)
+    )(spec.starts, hasp, spec.rebase, spec.blive, lidx, xf, xs, gf)
     return dwt[:, :Kl, :No]
 
 
@@ -1096,28 +1156,28 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
     hasp = spec.hasp
     Gk = spec.lidx_hi.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Gk, 1),
-                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Gk, 1),
-                         lambda b, n, st, hp, rb: (b, n, 0, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0, 0)),
             pl.BlockSpec((1, Bk, glanes_p),
-                         lambda b, n, st, hp, rb: (b, n, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0)),
             pl.BlockSpec(memory_space=pl.ANY),   # gf (row windows)
             pl.BlockSpec(memory_space=pl.ANY),   # gs0
             pl.BlockSpec(memory_space=pl.ANY),   # patch rows
-            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb: (0, 0, 0)),
+            pl.BlockSpec(wt.shape, lambda b, n, st, hp, rb, bl: (0, 0, 0)),
             pl.BlockSpec((1, Bk, xlanes_p),
-                         lambda b, n, st, hp, rb: (b, n, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, Bk, xlanes_p),
-                         lambda b, n, st, hp, rb: (b, n, 0)),
-            pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp, rb: (0, 0, 0)),
+                         lambda b, n, st, hp, rb, bl: (b, n, 0)),
+            pl.BlockSpec((3, Kl_p, No_p), lambda b, n, st, hp, rb, bl: (0, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, win, planes_v2), g.dtype),
@@ -1135,7 +1195,7 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
                    jax.ShapeDtypeStruct((3, Kl_p, No_p), jnp.float32)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(spec.starts, hasp, spec.rebase, lidx, spec.lidx_hi, spec.lidx_lo, gf, gf, gs0,
+    )(spec.starts, hasp, spec.rebase, spec.blive, lidx, spec.lidx_hi, spec.lidx_lo, gf, gf, gs0,
       patch, wt.astype(g.dtype), xf)
     return (d_x[:, :, :xlanes].reshape(B, T, cells, Cx),
             dwt[:, :Kl, :No])

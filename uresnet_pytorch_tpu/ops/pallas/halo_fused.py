@@ -134,9 +134,25 @@ def _issue_window_dmas(grouped, t, dim, C, win, b, n, starts_ref, src_ref,
 
 
 def _fwd_kernel(grouped, t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref,
-                lidx_ref, xblk_ref, xs_ref, out_ref, win_scr, sems):
+                bl_ref, lidx_ref, xblk_ref, xs_ref, out_ref, win_scr, sems):
     b = pl.program_id(0)
     n = pl.program_id(1)
+
+    @pl.when(bl_ref[b, n] != 0)
+    def _():
+        _fwd_body(grouped, t, dim, C, win, P, Tsrc, Bk, b, n, starts_ref,
+                  hasp_ref, lidx_ref, xblk_ref, xs_ref, out_ref, win_scr,
+                  sems)
+
+    # dead block (beyond the sorted live-tile prefix): all-zero inputs, so
+    # the halo-extended block is zero — write it without DMAs or dots
+    @pl.when(bl_ref[b, n] == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+
+def _fwd_body(grouped, t, dim, C, win, P, Tsrc, Bk, b, n, starts_ref,
+              hasp_ref, lidx_ref, xblk_ref, xs_ref, out_ref, win_scr, sems):
     (_, _, slab_start, slab_len, ext_plan, _, body_plan, packc) = \
         _plans(t, dim)
     lane_off, lane_w, _ = _lane_layout(t, dim, C)
@@ -195,11 +211,27 @@ def _fwd_kernel(grouped, t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref,
 
 
 def _bwd_kernel(grouped, t, dim, C, win, P, Tsrc, Bk, starts_ref, hasp_ref,
-                lidx_ref, gblk_ref, gs_ref, out_ref, win_scr, acc, sems):
+                bl_ref, lidx_ref, gblk_ref, gs_ref, out_ref, win_scr, acc,
+                sems):
     """Transpose: d_x block = body cotangent + per-offset slab cotangents
     gathered from the NEGATED offset's neighbor rows."""
     b = pl.program_id(0)
     n = pl.program_id(1)
+
+    @pl.when(bl_ref[b, n] != 0)
+    def _():
+        _bwd_body(grouped, t, dim, C, win, P, Tsrc, Bk, b, n, starts_ref,
+                  hasp_ref, lidx_ref, gblk_ref, gs_ref, out_ref, win_scr,
+                  acc, sems)
+
+    @pl.when(bl_ref[b, n] == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+
+def _bwd_body(grouped, t, dim, C, win, P, Tsrc, Bk, b, n, starts_ref,
+              hasp_ref, lidx_ref, gblk_ref, gs_ref, out_ref, win_scr, acc,
+              sems):
     (_, _, slab_start, slab_len, _, src_plan, body_plan, packc) = \
         _plans(t, dim)
     lane_off, lane_w, _ = _lane_layout(t, dim, C)
@@ -405,16 +437,16 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
         lidx = spec.lidx              # precomputed at graph build
         hasp = spec.hasp
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                             lambda b, n, st, hp: (b, n, 0, 0)),
-                pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp: (b, n, 0)),
+                             lambda b, n, st, hp, bl: (b, n, 0, 0)),
+                pl.BlockSpec((1, Bk, lanes_p), lambda b, n, st, hp, bl: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, Bk, elanes_p),
-                                   lambda b, n, st, hp: (b, n, 0)),
+                                   lambda b, n, st, hp, bl: (b, n, 0)),
             scratch_shapes=[
                 pltpu.VMEM((win + P, planes_p), xc.dtype),
                 pltpu.SemaphoreType.DMA((len(halo_offsets(dim)) + 1,)),
@@ -428,7 +460,7 @@ def halo26_fwd(x: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, lidx, xf, xs)
+        )(spec.starts, hasp, spec.blive, lidx, xf, xs)
         return out[:, :, :elanes].reshape(B, T, ecells, Cc)
 
     return _run_chunked(run, x, C, per_c)
@@ -464,16 +496,16 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
         lidx = spec.lidx              # precomputed at graph build
         hasp = spec.hasp
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, nb),
             in_specs=[
                 pl.BlockSpec((1, 1, lidx.shape[2], Bk),
-                             lambda b, n, st, hp: (b, n, 0, 0)),
-                pl.BlockSpec((1, Bk, elanes_p), lambda b, n, st, hp: (b, n, 0)),
+                             lambda b, n, st, hp, bl: (b, n, 0, 0)),
+                pl.BlockSpec((1, Bk, elanes_p), lambda b, n, st, hp, bl: (b, n, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, Bk, lanes_p),
-                                   lambda b, n, st, hp: (b, n, 0)),
+                                   lambda b, n, st, hp, bl: (b, n, 0)),
             scratch_shapes=[
                 pltpu.VMEM((win + P, planes_p), gc.dtype),
                 pltpu.VMEM((Bk, lanes_p), gc.dtype),
@@ -488,7 +520,7 @@ def halo26_bwd(g: jnp.ndarray, spec, t: int, dim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(spec.starts, hasp, lidx, gf, gs)
+        )(spec.starts, hasp, spec.blive, lidx, gf, gs)
         return out[:, :, :lanes].reshape(B, T, cells, Cc)
 
     return _run_chunked(run, g, C, per_c)
