@@ -404,3 +404,29 @@ def test_block_liveness_gating_exact():
     # dead blocks: bitwise zero (written by the gate's else-branch)
     dead0 = (np.ceil(live / Bk).astype(int)) * Bk
     assert (out[:, dead0:] == 0).all()
+
+
+@pytest.mark.parametrize("C,live", [(16, 40), (48, 40), (16, 128)])
+def test_preslice0_pallas_matches_concat(C, live):
+    """The gated Pallas repack (`_preslice0_pallas` — the TPU xs0/gs0
+    path) matches the XLA concat lowering bitwise on live rows and emits
+    exact zeros on dead blocks."""
+    from uresnet_pytorch_tpu.ops.pallas.halo_conv import (
+        _preslice0, _preslice0_pallas, _round_up)
+    rng = np.random.default_rng(61)
+    dim, G, t, B, T = 3, 8, 4, 2, 128
+    keys = [_random_level(rng, G, dim, T, live)[0] for _ in range(B)]
+    keysb, spec = _spec_batched(keys, G, dim, block=16)
+    cells = t ** dim
+    lanes_p = _round_up(cells * C, 128)
+    x = rng.normal(size=(B, T, lanes_p)).astype(np.float32)
+    flat = _zero_dead(jnp.asarray(x), keysb)
+    out = np.asarray(_preslice0_pallas(flat, C, t, dim, spec,
+                                       interpret=True))
+    ref = np.asarray(_preslice0(flat, C, t, dim))
+    np.testing.assert_array_equal(out, ref)
+    bl = np.asarray(spec.blive)
+    if bl.min() == 0:
+        Bk = T // bl.shape[1]
+        dead0 = int(np.ceil(live / Bk)) * Bk
+        assert (out[:, dead0:] == 0).all()

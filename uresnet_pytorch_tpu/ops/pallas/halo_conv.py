@@ -239,16 +239,83 @@ def _pack0_select_idx(C: int, t: int, dim: int):
     return idx
 
 
+def _preslice0_kernel(C, used, w, runs, bl_ref, x_ref, out_ref):
+    """Liveness-gated pack: out rows are the ~56 static lane runs of the
+    flat row, VMEM-to-VMEM. Dead blocks write zeros (xs0 windows can cover
+    dead rows near the clamped tail; bf16 garbage there could be NaN and
+    0*NaN poisons the one-hot dots)."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    live = bl_ref[b, n] != 0
+
+    @pl.when(live)
+    def _():
+        xb = x_ref[0]
+        for (v, ln, p) in runs:
+            out_ref[0, :, p * C:(p + ln) * C] = xb[:, v * C:(v + ln) * C]
+        if w > used:
+            out_ref[0, :, used:w] = jnp.zeros((xb.shape[0], w - used),
+                                              out_ref.dtype)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+
+def _preslice0_pallas(flat, C, t, dim, spec, interpret=False):
+    """Pallas lowering of `_preslice0` for spec-shaped inputs (T rows
+    matching spec's block structure): a pure lane repack per row block,
+    gated on spec.blive. Replaces the XLA 'dot' lowering on TPU — the
+    one-hot selection matmul ran at capacity rows on the MXU (measured
+    177 ms/step across all convs at bench scale, batch 8) and its {1,2,0}
+    output layout forced relayout copies around every Pallas conv; this
+    kernel is HBM-bound, skips dead blocks, and emits the row-major
+    layout the conv kernels consume directly."""
+    _, pk0, runs = _pack0_cells(t, dim)
+    used = pk0 * C
+    w = _round_up(used, 128)
+    B, T, lanes_p = flat.shape
+    nb = spec.starts.shape[2]
+    Bk = T // nb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nb),
+        in_specs=[pl.BlockSpec((1, Bk, lanes_p),
+                               lambda b, n, bl: (b, n, 0))],
+        out_specs=pl.BlockSpec((1, Bk, w), lambda b, n, bl: (b, n, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_preslice0_kernel, C, used, w, tuple(runs)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, w), flat.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(spec.blive, flat)
+
+
+def _preslice0_x(flat, C, t, dim, spec, interpret=False):
+    """xs0/gs0 entry point: the gated Pallas repack on TPU (or when the
+    caller runs kernels in interpret mode), the XLA lowerings elsewhere.
+    URESNET_PRESLICE=dot/concat/take forces an XLA lowering for A/B."""
+    import os
+    if "URESNET_PRESLICE" not in os.environ and (
+            interpret or jax.default_backend() == "tpu"):
+        return _preslice0_pallas(flat, C, t, dim, spec,
+                                 interpret=interpret)
+    return _preslice0(flat, C, t, dim)
+
+
 def _preslice0(flat, C, t, dim):
     """(B, T, cells*C...) -> (B, T, seg1_lanes): the d0=0 offsets' slab
     runs, densely packed, zero-padded to the 128-aligned segment width.
 
-    Three lowerings, URESNET_PRESLICE env-selectable for on-chip A/B:
-    'dot' (default; measured 2026-08 on-chip — the 56-fusion concat pass
-    was 257 ms/step, ~20% of the batch-8 step) contracts against a
-    constant one-hot selection matrix in one MXU matmul; 'concat' slices
-    the ~56 runs and concatenates; 'take' is one static cell-axis gather
-    on a free reshape view."""
+    XLA lowerings (used for patch rows — P rows, no block structure — and
+    as the CPU/A-B path for xs0; the TPU xs0 default is the gated Pallas
+    repack, `_preslice0_pallas`). URESNET_PRESLICE selects: 'dot'
+    (historical TPU default; the 56-fusion concat pass was 257 ms/step
+    before it, the one-hot MXU matmul 177 ms/step before the Pallas
+    repack) / 'concat' (CPU default) / 'take' (one static cell-axis
+    gather)."""
     import os
     _, pk0, runs = _pack0_cells(t, dim)
     used = pk0 * C
@@ -810,7 +877,8 @@ def halo_conv_fwd(x: jnp.ndarray, wt: jnp.ndarray, spec, t: int, dim: int,
         # never cross the row end, so the flat array serves as its own
         # window source (the old jnp.pad(xf, (0, win)) full-array copies
         # were ~100 ms/step of pure HBM traffic at bench scale)
-        xs0 = _preslice0(xf, C, t, dim)
+        xs0 = _preslice0_x(xf, C, t, dim, spec,
+                           interpret=interpret)
         Gk = spec.lidx_hi.shape[2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -940,7 +1008,7 @@ def fused_halo_conv_bn_act(x, w, a, b, mask, alpha, spec, t: int, dim: int,
         xf = jnp.pad(x.reshape(B, T, lanes),
                      ((0, 0), (0, 0), (0, lanes_p - lanes)))
     patch = _patch_rows_v2(xf, spec, t, dim, C)
-    xs0 = _preslice0(xf, C, t, dim)
+    xs0 = _preslice0_x(xf, C, t, dim, spec, interpret=interpret)
     lidx = spec.lidx
     hasp = spec.hasp
     ab = jnp.stack([jnp.tile(a.astype(jnp.float32), cells),
@@ -1043,7 +1111,8 @@ def halo_conv_dw(x: jnp.ndarray, g: jnp.ndarray, spec, t: int, dim: int,
         seg0_l, seg1_l, planes_v2 = v2
         patch = _patch_rows_v2(xf, spec, t, dim, C)
         # no row padding: spec starts clamped to [0, T - win] at build time
-        xs0 = _preslice0(xf, C, t, dim)
+        xs0 = _preslice0_x(xf, C, t, dim, spec,
+                           interpret=interpret)
         Gk = spec.lidx_hi.shape[2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -1151,7 +1220,7 @@ def halo_conv_bwd(g: jnp.ndarray, x: jnp.ndarray, wt: jnp.ndarray,
     xf = jnp.pad(x.astype(g.dtype).reshape(B, T, xlanes),
                  ((0, 0), (0, 0), (0, xlanes_p - xlanes)))
     patch = _patch_rows_v2(gf, spec, t, dim, Cg)
-    gs0 = _preslice0(gf, Cg, t, dim)
+    gs0 = _preslice0_x(gf, Cg, t, dim, spec, interpret=interpret)
     lidx = spec.lidx
     hasp = spec.hasp
     Gk = spec.lidx_hi.shape[2]
