@@ -133,3 +133,30 @@ def test_train_pair_path_param_tree_matches_eval():
         lambda vr, c, v, n: model.apply(vr, c, v, n, train=False)
     )(v_train, *args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eval_pair_path_matches_concat(monkeypatch):
+    """URESNET_EVAL_PAIR=1 routes eval through the unmaterialized
+    (up, skip) pair (the b16 HBM-headroom A/B, VERDICT r4 weak #6);
+    same params must give the same logits as the default eval concat
+    (f32: the pair decomposition is exact channel-splitting)."""
+    import jax
+    from uresnet_pytorch_tpu.models import construct
+
+    cfg = _cfg()
+    blob = _blob(cfg)
+    model = construct(cfg.model_name)(cfg)
+    args = (blob["coords"], blob["values"], blob["n_voxels"])
+    vr = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), *args, train=False)
+
+    def run():
+        # jit caches on the traced graph, and the env knob is read at
+        # trace time — trace explicitly each way, no jit cache reuse
+        return np.asarray(model.apply(vr, *args, train=False))
+
+    monkeypatch.delenv("URESNET_EVAL_PAIR", raising=False)
+    out_concat = run()
+    monkeypatch.setenv("URESNET_EVAL_PAIR", "1")
+    out_pair = run()
+    np.testing.assert_allclose(out_pair, out_concat, rtol=2e-4, atol=2e-5)

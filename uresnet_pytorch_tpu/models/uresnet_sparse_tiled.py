@@ -10,6 +10,8 @@ space-to-depth GEMMs (ops/tile_conv.py) instead of per-row gathers.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.ad_checkpoint
@@ -206,11 +208,13 @@ class UResNetSparseTiled(nn.Module):
                           (2 ** dim, y.shape[-1], planes[l]))
             y = upsample_conv_tiled(
                 y.astype(dt), link, occ, tsz[l], tsz[l + 1], dim, w)
-            if train:
+            if train or os.environ.get("URESNET_EVAL_PAIR") == "1":
                 # unmaterialized (up, skip) channel-concat pair: saves the
                 # (B, T, cells, 2C) concat copies (~3.1 GB at 512^3 b8 —
                 # the training batch ceiling). Eval keeps the concat so
-                # dec block0's conv_a stays on the fused BN-epilogue path.
+                # dec block0's conv_a stays on the fused BN-epilogue path;
+                # URESNET_EVAL_PAIR=1 forces the pair in eval too (the b16
+                # HBM-headroom A/B — VERDICT r4 weak #6).
                 y = (y, skip.astype(y.dtype))
             else:
                 y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
