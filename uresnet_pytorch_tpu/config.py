@@ -43,6 +43,14 @@ class URESNetConfig:
     max_voxels: int = 0                 # per-event active-site capacity at level 0; 0 => auto
     capacity_factor: float = 1.0        # cap[l+1] = cap[l] * factor (<=1.0 always safe)
     min_level_capacity: int = 256       # floor so deep levels keep MXU-friendly tiles
+    # multiplier on every exact-correction-list budget (halo specs, link
+    # child/parent specs, monotone-lookup scratch). 0 = auto: scale each
+    # level linearly with its voxel capacity over the 131072 (512^3 /
+    # ~1e5-voxel) baseline the fixed budgets were validated at — the
+    # 768^3 scale audit measured 19980 silently dropped pairs/batch with
+    # the unscaled budgets (benchmarks/scale_audit.py; VERDICT r4 #5).
+    # <= 512^3 configs resolve to 1x everywhere: bit-identical programs.
+    corr_scale: int = 0
 
     # ---- sparse engine selection (TPU-native; see docs/ARCHITECTURE.md) ----
     sparse_engine: str = "tile"         # {tile, gather}: tiled-dense MXU engine
@@ -169,6 +177,12 @@ class URESNetConfig:
 
     def level_spatial_size(self, level: int) -> int:
         return max(1, self.spatial_size >> level)
+
+    def corr_scale_at(self, level: int) -> int:
+        """Correction-budget multiplier for `level` (see corr_scale)."""
+        if self.corr_scale:
+            return self.corr_scale
+        return max(1, -(-self.level_capacity(level) // 131072))
 
     def level_capacity(self, level: int) -> int:
         """Static active-site capacity (padded rows) at resolution `level`."""

@@ -228,7 +228,13 @@ def build_halo26(keys: jnp.ndarray, grid: int, dim: int,
     nkeys = jnp.stack([
         encode(coords + jnp.asarray(off, jnp.int32), valid, grid)
         for off in offs])                              # (K, T)
-    idx, ok, n_dropped = lookup_monotone(keys, nkeys)
+    # scratch budget scales with the spec's correction budget: at 768^3
+    # the default 2048 dropped 1041 L0 pairs/batch (scale_audit) while the
+    # spec-level corr sat at 438/1024 — the lookup, not the spec, was the
+    # binding cap. corr_cap/HALO_CORR_CAP is exactly the caller's
+    # corr_scale_at factor (1 at <=512^3: bit-identical programs).
+    idx, ok, n_dropped = lookup_monotone(
+        keys, nkeys, corr_cap=2048 * max(1, corr_cap // HALO_CORR_CAP))
     idx = idx.astype(jnp.int32)
 
     Bk = min(block, T)

@@ -33,7 +33,8 @@ import numpy as np
 from uresnet_pytorch_tpu.config import URESNetConfig
 from uresnet_pytorch_tpu.ops.coords import (SENTINEL, compact_marked, decode,
                                              encode, lookup, lookup_monotone)
-from uresnet_pytorch_tpu.ops.halo import Halo26Spec, build_halo26
+from uresnet_pytorch_tpu.ops.halo import (HALO_CORR_CAP, Halo26Spec,
+                                          build_halo26)
 from uresnet_pytorch_tpu.ops.sparse_graph import _dedup_sorted
 
 LINK_BLOCK = 256                        # down/up tile links
@@ -271,10 +272,12 @@ def _fold_occ_downsample(occ, t, dim):
     return s > 0
 
 
-def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
+def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int,
+               cs: int = 1):
     """Per event: coarse keys (occupied parents), child gather specs
     (coarse <- fine, one per corner) and the parent spec
-    (fine <- coarse corner view)."""
+    (fine <- coarse corner view). `cs` scales every correction budget
+    (URESNetConfig.corr_scale_at — 1 at the validated 512^3 shape)."""
     fc = decode(keys_f, grid_f, dim)
     valid = keys_f != SENTINEL
     grid_c = grid_f // 2
@@ -300,19 +303,21 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     # dropped up to 898 pairs/event — win_mult=8 + corr_cap=8192 measured
     # zero drops with wide margin
     cidx_all, cok_all, cdrop = lookup_monotone(keys_f, child_keys,
-                                               win_mult=8, corr_cap=8192)
+                                               win_mult=8,
+                                               corr_cap=8192 * cs)
     children = []
     for o in range(2 ** dim):
         # child idx expands by the fine/coarse tile-count ratio (~2-3):
         # widen the window accordingly
         children.append(make_gather_spec(cidx_all[o].astype(jnp.int32),
                                          cok_all[o], Tf,
-                                         LINK_BLOCK, win_mult=6))
+                                         LINK_BLOCK, win_mult=6,
+                                         corr_cap=CORR_CAP * cs))
     # fine -> (parent, octant) for the decoder; parent keys of sorted fine
     # keys are non-decreasing per octant (coord halving back-jumps only
     # where a trailing coordinate wraps ACROSS parities)
     pidx, pok, pdrop = lookup_monotone(
-        keys_c, encode(fc >> 1, valid, grid_c)[None], corr_cap=4096)
+        keys_c, encode(fc >> 1, valid, grid_c)[None], corr_cap=4096 * cs)
     pidx, pok = pidx[0], pok[0]
     corner = jnp.zeros((Tf,), jnp.int32)
     for d in range(dim):
@@ -329,7 +334,7 @@ def _down_link(keys_f, occ_any, grid_f: int, dim: int, Tc: int):
     idx2 = (pidx.astype(jnp.int32) * noct + corner).astype(jnp.int32)
     parents = tuple(
         make_gather_spec(idx2, pok & (corner == o), Tc * noct,
-                         LINK_BLOCK, corr_cap=1024, win_mult=4)
+                         LINK_BLOCK, corr_cap=1024 * cs, win_mult=4)
         for o in range(noct))
     return (keys_c, num_c, tuple(children), parents, n_spill,
             (cdrop + pdrop).astype(jnp.int32))
@@ -357,7 +362,9 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
     for l in range(nlev):
         t_l = tile_size_at(cfg, l)
         G_l = cfg.level_spatial_size(l) // t_l
-        halo = jax.vmap(lambda k: build_halo26(k, G_l, dim))(keys)
+        cs_l = cfg.corr_scale_at(l)
+        halo = jax.vmap(lambda k: build_halo26(
+            k, G_l, dim, corr_cap=HALO_CORR_CAP * cs_l))(keys)
         levels.append(TileLevel(keys, num, occ, halo))
         if l < nlev - 1:
             t_c = tile_size_at(cfg, l + 1)
@@ -370,7 +377,8 @@ def build_tile_graph(coords, values, n_voxels, cfg: URESNetConfig) -> TileGraph:
                     Tc = keys.shape[1]
                 (keys_c, num_c, children, parents, spill_c,
                  lk_drop) = jax.vmap(
-                    lambda k, oa: _down_link(k, oa, G_l, dim, Tc))(keys, occ_any)
+                    lambda k, oa: _down_link(k, oa, G_l, dim, Tc,
+                                             cs=cs_l))(keys, occ_any)
                 tile_spill = tile_spill + spill_c.astype(jnp.int32)
                 occ_h = jax.vmap(
                     lambda o: _fold_occ_downsample(o, t_l, dim))(occ)
