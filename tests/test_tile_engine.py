@@ -184,6 +184,36 @@ def test_engine_equivalence(spatial, strides, tile, dim):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("tile_sizes", [(4, 2, 2), (4, 4, 2)])
+def test_engine_equivalence_tile_schedule(tile_sizes):
+    """Per-level tile_sizes schedules (config.tile_sizes) must reproduce
+    the gather engine's logits exactly like the global-t engine does —
+    the halving transition mid-network rides the identity-link branch
+    (ops/tile_graph.build_tile_graph) with full spatial headroom, not
+    just the spatial-clamp case the (8,3,4) case above pins."""
+    from uresnet_pytorch_tpu.models import construct
+    cfg_g = _cfg("gather", spatial_size=16, uresnet_num_strides=3,
+                 tile_size=4, data_dim=3)
+    cfg_t = cfg_g.replace(sparse_engine="tile", tile_sizes=tile_sizes)
+    blob = _blob(cfg_g, mean_voxels=80)
+    args = (jnp.asarray(blob["coords"]), jnp.asarray(blob["values"]),
+            jnp.asarray(blob["n_voxels"]))
+    mg = construct("uresnet_sparse")(cfg_g)
+    mt = construct("uresnet_sparse")(cfg_t)
+    rng = jax.random.PRNGKey(3)
+    vg = jax.jit(mg.init, static_argnames=("train",))(rng, *args, train=False)
+    vg = {k: v for k, v in vg.items() if k != "diag"}
+    out_g = jax.jit(mg.apply, static_argnames=("train",))(vg, *args,
+                                                          train=False)
+    out_t = jax.jit(mt.apply, static_argnames=("train",))(vg, *args,
+                                                          train=False)
+    n = blob["n_voxels"]
+    for b in range(len(n)):
+        np.testing.assert_allclose(np.asarray(out_t)[b, :n[b]],
+                                   np.asarray(out_g)[b, :n[b]],
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_graph_overflow_zero_midscale():
     """Correction capacities must hold with room to spare on a mid-scale
     event (the TPU-scale check lives in the bench harness)."""

@@ -63,6 +63,19 @@ class URESNetConfig:
     # counted: graph_spills / the tile_spill+vox_spill TrainVal metrics
     # surface them per step, main_funcs warns (ops/tile_graph.py).
     tile_occupancy: float = 4.5
+    # optional PER-LEVEL tile edge schedule (len == uresnet_num_strides),
+    # e.g. (4, 2, 2, 2, 2). t may stay or HALVE from one level to the
+    # next: a halving transition keeps the parent TILE GRID (spatial and
+    # t both halve -> same grid) so the down/up links are identities and
+    # the level inherits the parent's tile set with 8x fewer cells —
+    # denser tiles where per-tile occupancy is worst
+    # (ops/tile_graph.build_tile_graph's t_c*2 == t_l branch).
+    # None => tile_size at every level (clamped to level spatial size).
+    tile_sizes: Optional[Tuple[int, ...]] = None
+    # optional per-level occupancy divisors matching tile_sizes. None =>
+    # tile_occupancy scaled by t_l/t_0 (track-like events cross ~t cells
+    # per tile, so voxels-per-occupied-tile scales ~linearly with t).
+    tile_occupancies: Optional[Tuple[float, ...]] = None
     min_tiles: int = 64                 # floor on per-level tile capacity
     # training rematerialization: "stage" checkpoints whole encoder/decoder
     # stages (least memory; backward re-runs each stage's convs);
@@ -136,6 +149,25 @@ class URESNetConfig:
             raise ValueError(f"unknown sparse_engine {self.sparse_engine!r}")
         if self.tile_size & (self.tile_size - 1) or self.tile_size < 2:
             raise ValueError("tile_size must be a power of two >= 2")
+        if self.tile_sizes is not None:
+            ts = tuple(int(t) for t in self.tile_sizes)
+            if len(ts) != self.uresnet_num_strides:
+                raise ValueError("tile_sizes must have one entry per level")
+            for i, t in enumerate(ts):
+                if t & (t - 1) or t < 2:
+                    raise ValueError("tile_sizes entries must be powers of "
+                                     "two >= 2")
+                if i and ts[i] not in (ts[i - 1], ts[i - 1] // 2):
+                    raise ValueError(
+                        "tile_sizes may only stay or halve between levels "
+                        f"(got {ts[i - 1]} -> {ts[i]} at level {i})")
+            object.__setattr__(self, "tile_sizes", ts)
+        if self.tile_occupancies is not None:
+            to = tuple(float(o) for o in self.tile_occupancies)
+            if len(to) != self.uresnet_num_strides:
+                raise ValueError(
+                    "tile_occupancies must have one entry per level")
+            object.__setattr__(self, "tile_occupancies", to)
         if (self.sparse_engine == "tile"
                 and (self.spatial_size >> (self.uresnet_num_strides - 1)) < 2):
             raise ValueError(
@@ -177,6 +209,19 @@ class URESNetConfig:
 
     def level_spatial_size(self, level: int) -> int:
         return max(1, self.spatial_size >> level)
+
+    def tile_occupancy_at(self, level: int) -> float:
+        """Capacity divisor (voxels per occupied tile) at `level`. With a
+        per-level tile_sizes schedule and no explicit tile_occupancies,
+        scales tile_occupancy linearly with the tile edge (see field
+        comments). Global-t configs return tile_occupancy unchanged so
+        existing programs stay bit-identical."""
+        if self.tile_occupancies is not None:
+            return self.tile_occupancies[level]
+        if self.tile_sizes is None:
+            return self.tile_occupancy
+        return max(1.0, self.tile_occupancy
+                   * self.tile_sizes[level] / self.tile_sizes[0])
 
     def corr_scale_at(self, level: int) -> int:
         """Correction-budget multiplier for `level` (see corr_scale)."""

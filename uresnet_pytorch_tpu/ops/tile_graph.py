@@ -115,7 +115,8 @@ def graph_spills(graph: "TileGraph") -> jnp.ndarray:
 
 
 def tile_size_at(cfg: URESNetConfig, level: int) -> int:
-    return min(cfg.tile_size, cfg.level_spatial_size(level))
+    t = cfg.tile_sizes[level] if cfg.tile_sizes is not None else cfg.tile_size
+    return min(t, cfg.level_spatial_size(level))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -124,8 +125,14 @@ def _round_up(x: int, m: int) -> int:
 
 def tile_capacity_at(cfg: URESNetConfig, level: int) -> int:
     t = tile_size_at(cfg, level)
+    if level > 0 and tile_size_at(cfg, level - 1) == 2 * t:
+        # halving transition: spatial and t both halve, so the tile GRID is
+        # unchanged and the level inherits the parent's tile set verbatim
+        # (build_tile_graph's identity-link branch)
+        return tile_capacity_at(cfg, level - 1)
     cap = max(cfg.min_tiles,
-              int(np.ceil(cfg.level_capacity(level) / cfg.tile_occupancy)))
+              int(np.ceil(cfg.level_capacity(level)
+                          / cfg.tile_occupancy_at(level))))
     grid_tiles = (cfg.level_spatial_size(level) // t) ** cfg.data_dim
     cap = min(cap, grid_tiles)
     # block machinery wants capacities divisible by the largest block size
