@@ -114,6 +114,14 @@ def _sparse_cfg(smoke, batch):
         max_voxels=max(256, 1 << int(np.ceil(np.log2(n_vox * 1.3)))),
         capacity_factor=0.5, min_level_capacity=2048 if not smoke else 64,
         batch_size=batch, compute_dtype="bfloat16",
+        # measured-best per-level tile schedule at the 512^3/5-stride
+        # shape: [4,2,2,2,2] = 13.65 ev/s vs global-4's 10.17 (config 3,
+        # r5 on-chip A/B; [4,4,2,2,2] = 12.02, global t=2 = 6.41).
+        # Override with BENCH_TILE_SIZES=4,4,4,4,4 for the global layout.
+        tile_sizes=tuple(
+            int(s) for s in os.environ["BENCH_TILE_SIZES"].split(","))
+        if os.environ.get("BENCH_TILE_SIZES")
+        else (None if smoke else (4, 2, 2, 2, 2)),
         # stage_dots measured 2.141 vs stage's 1.884 ev/s at config 4 (b4)
         # and fits; override with BENCH_REMAT for memory-limited sweeps
         remat_mode=os.environ.get("BENCH_REMAT", "stage_dots")), n_vox

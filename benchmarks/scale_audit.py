@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--spatial", type=int, default=768)
     ap.add_argument("--voxels", type=int, default=250_000)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--tile-sizes", default="",
+                    help="per-level schedule, e.g. 4,2,2,2,2 "
+                         "(config.tile_sizes); empty = global tile_size 4")
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 
@@ -55,6 +58,8 @@ def main():
         reps=2,
         max_voxels=max(256, 1 << int(np.ceil(np.log2(args.voxels * 1.3)))),
         capacity_factor=0.5, min_level_capacity=2048,
+        tile_sizes=tuple(int(s) for s in args.tile_sizes.split(","))
+        if args.tile_sizes else None,
         batch_size=args.batch, compute_dtype="bfloat16")
 
     coords = np.zeros((args.batch, cfg.max_voxels, 3), np.int32)

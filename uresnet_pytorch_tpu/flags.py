@@ -61,6 +61,11 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--compute-dtype", type=str, default=d["compute_dtype"].default)
     p.add_argument("--remat-mode", type=str, default=d["remat_mode"].default,
                    help="training remat: stage | stage_dots | none")
+    p.add_argument("--tile-sizes", type=str, default="",
+                   help="per-level tile-edge schedule for the tile engine, "
+                        "e.g. 4,2,2,2,2 (t may stay or halve per level; "
+                        "see config.tile_sizes). Empty = tile_size "
+                        "everywhere")
     p.add_argument("--profile-dir", type=str, default="")
 
 
@@ -90,6 +95,7 @@ def _to_config(ns: argparse.Namespace, train: bool) -> URESNetConfig:
         limit_num_files=ns.limit_num_files,
         num_threads=ns.num_threads,
         remat_mode=ns.remat_mode,
+        tile_sizes=tuple(int(t) for t in _split_csv(ns.tile_sizes)) or None,
         train=train,
         learning_rate=ns.learning_rate,
         iteration=ns.iteration,
