@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--events", type=int, default=48)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--voxels", type=int, default=100_000)
+    ap.add_argument("--tile-sizes", default="4,2,2,2,2",
+                    help="per-level tile schedule passed to the CLI "
+                         "(measured-best default; empty = global t=4)")
     args = ap.parse_args()
 
     from uresnet_pytorch_tpu.iotools.h5_io import generate_h5_file
@@ -45,6 +48,8 @@ def main():
            "-mn", "uresnet_sparse", "-ss", "512", "-uns", "5", "-uf", "16",
            "--max-voxels", "131072", "--capacity-factor", "0.5",
            "-mp", args.ckpt, "-ld", logd]
+    if args.tile_sizes:
+        cmd += ["--tile-sizes", args.tile_sizes]
     subprocess.run(cmd, check=True)
 
     with open(os.path.join(logd, "inference_log.csv")) as f:
